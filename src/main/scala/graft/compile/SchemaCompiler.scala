@@ -1,0 +1,240 @@
+package graft.compile
+
+import graft.dsl._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles a [[SchemaSpec]] into Catalyst `Column` trees: one pass per
+  * partition, no shuffle, no UDFs — every rule class lands inside whole-stage
+  * codegen. The per-row result is (coerced values, violations array), the
+  * columnar equivalent of the reference's `Ecto.Changeset`
+  * (reference: lib/changeset.ex:15-69).
+  *
+  * Pipeline order matches the reference's extension fold
+  * (reference: lib/flint.ex:13-23, lib/changeset.ex:46-50):
+  *   cast -> required -> Block -> derive -> when -> validators -> map
+  * (note Block runs BEFORE derive in 0.6.0 — preserved quirk, SURVEY §3).
+  */
+object SchemaCompiler {
+
+  val ViolStruct: DataType =
+    StructType(Seq(StructField("constraint_id", StringType), StructField("reason", StringType)))
+
+  private def emptyViols: Column = array().cast(ArrayType(ViolStruct))
+
+  private def entry(cid: Column, reason: Column): Column =
+    struct(cid.as("constraint_id"), reason.as("reason"))
+
+  /** One violation (or null) wrapped as a 1-element array for uniform concat. */
+  private def entryArr(fire: Column, cid: Column, reason: Column): Column =
+    filter(array(when(fire, entry(cid, reason))), x => x.isNotNull)
+
+  /** Per-field compilation output. */
+  private case class FieldOut(finalValue: Column, violArrays: Seq[Column], inChanges: Column)
+
+  /** Resolve a raw input column + its Spark type; None type == column absent. */
+  type Resolver = String => (Column, Option[DataType])
+
+  def resolverFor(df: DataFrame): Resolver = { name =>
+    df.schema.fields.find(_.name == name) match {
+      case Some(f) => (df(f.name), Some(f.dataType))
+      case None    => (lit(null), None)
+    }
+  }
+
+  private def resolverForStruct(c: Column, st: StructType): Resolver = { name =>
+    st.fields.find(_.name == name) match {
+      case Some(f) => (c.getField(f.name), Some(f.dataType))
+      case None    => (lit(null), None)
+    }
+  }
+
+  /** Core recursive compile over one record scope (top-level row or embedded
+    * struct). Returns final values for all fields + violation array columns.
+    *
+    * @param prefix constraint-id prefix ("", "author.", dynamic for embeds_many)
+    * @param parentValues parent-record fields visible as bindings in child rules
+    *                     (reference: lib/changeset.ex:52-58 `bindings ++ to_bindings`)
+    */
+  def compileScope(
+      spec: SchemaSpec,
+      resolve: Resolver,
+      bindings: Map[String, Any],
+      prefix: Column,
+      parentValues: Map[String, Column]): (Map[String, Column], Seq[Column]) = {
+
+    val allBindings = bindings ++ parentValues
+
+    // ---- stage 1+2: cast + default + required/cast violations -------------
+    case class CastOut(value: Column, inChanges: Column, viols: Seq[Column])
+    val casted: Seq[(FieldSpec, CastOut)] = spec.fields.map { f =>
+      val (raw, inTypeOpt) = resolve(f.input)
+      if (f.virtual) {
+        // C5: passthrough untouched, no rules
+        (f, CastOut(raw, lit(false), Nil))
+      } else {
+        val present = inTypeOpt match {
+          case Some(_: StringType) => raw.isNotNull && (raw =!= lit("")) // Ecto empty_values [""]
+          case Some(_)             => raw.isNotNull
+          case None                => lit(false)
+        }
+        val castedRaw = inTypeOpt match {
+          case Some(t) => f.ftype.castExpr(raw, t)
+          case None    => lit(null).cast(f.ftype.sparkType)
+        }
+        val castedVal = when(present, castedRaw)
+        val inChanges = present && castedVal.isNotNull
+        val withDefault = f.default match {
+          case Some(d) => coalesce(castedVal, lit(d).cast(f.ftype.sparkType))
+          case None    => castedVal
+        }
+        val castViol = entryArr(
+          present && castedVal.isNull,
+          concat(prefix, lit(s"${f.name}.cast")), lit("is invalid"))
+        val reqViol =
+          if (!f.required) emptyViols
+          else entryArr(withDefault.isNull,
+            concat(prefix, lit(s"${f.name}.required")), lit("can't be blank"))
+        (f, CastOut(withDefault, inChanges, Seq(castViol, reqViol)))
+      }
+    }
+
+    var values: Map[String, Column] = casted.map { case (f, c) => f.name -> c.value }.toMap
+    val inChanges: Map[String, Column] = casted.map { case (f, c) => f.name -> c.inChanges }.toMap
+    var viols: Seq[Column] = casted.flatMap(_._2.viols)
+
+    def ctx: Ctx = Ctx(values, allBindings)
+
+    // ---- stage 3: Block (runs before derive — 0.6.0 order) ----------------
+    // X3 quirk: a passing truthy clause resets earlier same-field block errors
+    // (reference: lib/flint/extensions/block.ex:80-82).
+    for ((f, c) <- casted if f.block.nonEmpty) {
+      val blockArr = f.block.zipWithIndex.foldLeft(emptyViols) { case (acc, (cl, i)) =>
+        val cond = cl.cond(ctx)
+        val msg = cl.result(ctx)
+        val cid = concat(prefix, lit(s"${f.name}.block.${i + 1}"))
+        val genericReason =
+          lit(s"Error evaluating expression in Clause #${i + 1} of `do:` block")
+        when(cond.isNull, array_append(acc, entry(cid, genericReason)))
+          .when(cond,
+            when(msg.isNull, emptyViols)                    // pass => reset (X3)
+              .otherwise(array_append(acc, entry(cid, msg))))
+          .otherwise(acc)
+      }
+      viols = viols :+ when(c.inChanges, blockArr).otherwise(emptyViols)
+    }
+
+    // ---- stage 4: derive (P1) ---------------------------------------------
+    // code-as-written gates on membership in changes (pre_transforms.ex:61-69);
+    // deriveAlways exposes the documented always-derive behavior (SURVEY §1.3).
+    val postDerive = casted.map { case (f, c) =>
+      f.name -> (f.derive match {
+        case Some(e) if spec.deriveAlways => e(ctx)
+        case Some(e)                      => when(c.inChanges, e(ctx)).otherwise(values(f.name))
+        case None                         => values(f.name)
+      })
+    }.toMap
+    values = postDerive
+
+    // ---- stage 5: when (X1) -----------------------------------------------
+    // falsy OR eval-failure (null) => "Failed `:when` validation"
+    // (reference: lib/flint/extensions/when.ex:42-83).
+    for ((f, c) <- casted; rule <- f.whenRule) {
+      viols = viols :+ entryArr(
+        c.inChanges && !coalesce(rule(ctx), lit(false)),
+        concat(prefix, lit(s"${f.name}.when")), lit("Failed `:when` validation"))
+    }
+
+    // ---- stage 6: validators (V1-V16) -------------------------------------
+    // Ecto validators skip nil values; one violation row per failed validator.
+    for ((f, c) <- casted; v <- f.validators) {
+      val value = values(f.name)
+      viols = viols :+ entryArr(
+        c.inChanges && value.isNotNull && !coalesce(v.pred(value, ctx), lit(false)),
+        concat(prefix, lit(s"${f.name}.${v.kind}")), v.reason(value, ctx))
+    }
+
+    // ---- stage 7: map (P2) -------------------------------------------------
+    val postMap = casted.map { case (f, c) =>
+      f.name -> (f.mapFn match {
+        case Some(e) => when(c.inChanges, e(ctx)).otherwise(values(f.name))
+        case None    => values(f.name)
+      })
+    }.toMap
+    values = postMap
+
+    // ---- embeds (C4): recurse ----------------------------------------------
+    for (e <- spec.embeds) {
+      val (raw, tOpt) = resolve(e.input)
+      tOpt match {
+        case Some(st: StructType) if !e.many =>
+          val childResolve = resolverForStruct(raw, st)
+          val (childValues, childViols) = compileScope(
+            e.schema, childResolve, bindings,
+            concat(prefix, lit(s"${e.name}.")), values)
+          val childStruct = struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*)
+          // embeds_one defaults_to_struct: missing non-required embed => struct of nulls
+          val materialized =
+            if (e.required) when(raw.isNotNull, childStruct)
+            else coalesce(when(raw.isNotNull, childStruct),
+              struct(e.schema.fields.map(f => lit(null).cast(f.ftype.sparkType).as(f.name)): _*))
+          values = values + (e.name -> materialized)
+          val gated = childViols.map(v => when(raw.isNotNull, v).otherwise(emptyViols))
+          viols = viols ++ gated
+          if (e.required)
+            viols = viols :+ entryArr(raw.isNull,
+              concat(prefix, lit(s"${e.name}.required")), lit("can't be blank"))
+
+        case Some(ArrayType(st: StructType, _)) if e.many =>
+          // per-element recursion via transform with index; element index is
+          // baked into the constraint id: name[i].field.kind
+          val parentVals = values
+          val perElem = transform(raw, (x, i) => {
+            val childResolve = resolverForStruct(x, st)
+            val elemPrefix = concat(prefix, lit(s"${e.name}["), i.cast(StringType), lit("]."))
+            val (childValues, childViols) =
+              compileScope(e.schema, childResolve, bindings, elemPrefix, parentVals)
+            struct(
+              struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*).as("value"),
+              (if (childViols.isEmpty) emptyViols else concat(childViols: _*)).as("viols"))
+          })
+          val coercedArr = transform(perElem, x => x.getField("value"))
+          // embeds_many always defaults to [] (reference: lib/schema.ex:21-22)
+          values = values + (e.name -> coalesce(coercedArr,
+            array().cast(ArrayType(StructType(
+              e.schema.fields.map(f => StructField(f.name, f.ftype.sparkType)))))))
+          viols = viols :+ coalesce(flatten(transform(perElem, x => x.getField("viols"))), emptyViols)
+          if (e.required)
+            viols = viols :+ entryArr(raw.isNull,
+              concat(prefix, lit(s"${e.name}.required")), lit("can't be blank"))
+
+        case _ =>
+          // absent embed column
+          if (e.required)
+            viols = viols :+ entryArr(lit(true),
+              concat(prefix, lit(s"${e.name}.required")), lit("can't be blank"))
+          else if (!e.many)
+            values = values + (e.name -> struct(
+              e.schema.fields.map(f => lit(null).cast(f.ftype.sparkType).as(f.name)): _*))
+          else
+            values = values + (e.name -> array().cast(ArrayType(StructType(
+              e.schema.fields.map(f => StructField(f.name, f.ftype.sparkType))))))
+      }
+    }
+
+    (values, viols)
+  }
+
+  /** All violations of a row as one array<struct<constraint_id,reason>> column. */
+  def violationsArray(spec: SchemaSpec, df: DataFrame, extraBindings: Map[String, Any] = Map.empty): Column = {
+    val (_, viols) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
+    if (viols.isEmpty) emptyViols else concat(viols: _*)
+  }
+
+  /** Coerced (cast+default+derive+map) values, keyed by field name. */
+  def coercedValues(spec: SchemaSpec, df: DataFrame, extraBindings: Map[String, Any] = Map.empty): Map[String, Column] = {
+    val (values, _) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
+    values
+  }
+}

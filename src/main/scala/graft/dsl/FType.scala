@@ -1,0 +1,252 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Field type: cast (raw input -> embedded) and dump (embedded -> serialized)
+  * expressed as Catalyst `Column` transforms, so the whole pipeline stays inside
+  * whole-stage codegen (no UDFs).
+  *
+  * Mirrors the semantics of the reference's Ecto type layer
+  * (reference: lib/type.ex, lib/flint/types/): `cast` is strict per input
+  * type (an integer param does NOT cast to :string), a null result on a
+  * non-null input marks a cast violation ("is invalid"), and `dump` produces
+  * the serialized (JSON-shaped) representation (`embed_as`).
+  */
+sealed trait FType extends Serializable {
+  def name: String
+  def sparkType: DataType
+
+  /** Coerce an input column of Spark type `in` to this type.
+    * Null on non-null input == cast failure (reference: lib/changeset.ex:32-34).
+    */
+  def castExpr(c: Column, in: DataType): Column
+
+  /** Serialized representation (reference: lib/schema.ex:44-46 dump). */
+  def dumpExpr(c: Column): Column = c
+
+  protected def nullOf: Column = lit(null).cast(sparkType)
+}
+
+object FType {
+  private[dsl] def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+        _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  private[dsl] def isIntegral(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+}
+
+/** :string — Ecto casts binaries only; numbers do not become strings
+  * (reference: union.ex:178 type witness). `lenient=true` relaxes to
+  * Spark-style to-string coercion for table work.
+  */
+case class FString(lenient: Boolean = false) extends FType {
+  val name = "string"
+  val sparkType: DataType = StringType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: StringType => c
+    case _ if lenient  => c.cast(StringType)
+    case _             => nullOf
+  }
+}
+
+/** :integer — accepts integrals and integer-looking strings; floats error
+  * (Ecto cast(:integer, 1.0) => :error).
+  */
+case object FInteger extends FType {
+  val name = "integer"
+  val sparkType: DataType = LongType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case dt if FType.isIntegral(dt) => c.cast(LongType)
+    case _: StringType              => c.try_cast(LongType)
+    case _                          => nullOf
+  }
+}
+
+/** :float — accepts numerics and numeric strings. */
+case object FFloat extends FType {
+  val name = "float"
+  val sparkType: DataType = DoubleType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case dt if FType.isNumeric(dt) => c.cast(DoubleType)
+    case _: StringType             => c.try_cast(DoubleType)
+    case _                         => nullOf
+  }
+}
+
+/** :decimal — dumped as string in JSON (reference README Book example). */
+case object FDecimal extends FType {
+  val name = "decimal"
+  val sparkType: DataType = DecimalType(38, 18)
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case dt if FType.isNumeric(dt) => c.cast(sparkType)
+    case _: StringType             => c.try_cast(sparkType)
+    case _                         => nullOf
+  }
+  override def dumpExpr(c: Column): Column = c.cast(StringType)
+}
+
+/** :boolean — accepts booleans and "true"/"false"/"1"/"0" strings. */
+case object FBoolean extends FType {
+  val name = "boolean"
+  val sparkType: DataType = BooleanType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: BooleanType => c
+    case _: StringType =>
+      when(lower(c).isin("true", "1"), lit(true))
+        .when(lower(c).isin("false", "0"), lit(false))
+        .otherwise(nullOf)
+    case _ => nullOf
+  }
+}
+
+case object FDate extends FType {
+  val name = "date"
+  val sparkType: DataType = DateType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: DateType   => c
+    case _: StringType => c.try_cast(DateType)
+    case _             => nullOf
+  }
+  override def dumpExpr(c: Column): Column = c.cast(StringType)
+}
+
+/** :naive_datetime — wall-clock, no zone (TimestampNTZ). */
+case object FNaiveDatetime extends FType {
+  val name = "naive_datetime"
+  val sparkType: DataType = TimestampNTZType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: TimestampNTZType | _: TimestampType => c.cast(sparkType)
+    case _: StringType                          => c.try_cast(sparkType)
+    case _                                      => nullOf
+  }
+  override def dumpExpr(c: Column): Column = c.cast(StringType)
+}
+
+/** :utc_datetime. */
+case object FUtcDatetime extends FType {
+  val name = "utc_datetime"
+  val sparkType: DataType = TimestampType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: TimestampType | _: TimestampNTZType => c.cast(sparkType)
+    case _: StringType                          => c.try_cast(sparkType)
+    case _                                      => nullOf
+  }
+  override def dumpExpr(c: Column): Column = c.cast(StringType)
+}
+
+case object FBinary extends FType {
+  val name = "binary"
+  val sparkType: DataType = BinaryType
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: BinaryType => c
+    case _: StringType => c.cast(BinaryType)
+    case _             => nullOf
+  }
+}
+
+/** {:array, t} — element-wise cast; any failing element fails the whole cast
+  * (Ecto array-cast semantics).
+  */
+case class FArray(elem: FType) extends FType {
+  val name = s"array<${elem.name}>"
+  val sparkType: DataType = ArrayType(elem.sparkType)
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case ArrayType(et, _) =>
+      val bad = exists(c, x => x.isNotNull && elem.castExpr(x, et).isNull)
+      when(!coalesce(bad, lit(false)), transform(c, x => elem.castExpr(x, et)))
+        .otherwise(nullOf)
+    case _ => nullOf
+  }
+  override def dumpExpr(c: Column): Column = transform(c, x => elem.dumpExpr(x))
+}
+
+/** Flint.Types.Enum with keyword mapping: cast accepts embedded key OR dumped
+  * value -> key; dump emits the mapped value
+  * (reference: lib/flint/types/enum.ex:1-3, README.md:362-377 `embed_as: :dump`).
+  * Unmappable input => cast violation.
+  */
+case class FEnum(mapping: Seq[(String, Any)]) extends FType {
+  require(mapping.nonEmpty, "enum mapping must be non-empty")
+  val name = "enum"
+  val sparkType: DataType = StringType
+  private def keyByAny: Column =
+    map(mapping.flatMap { case (k, v) =>
+      Seq(lit(k), lit(k), lit(v).cast(StringType), lit(k))
+    }: _*)
+  def castExpr(c: Column, in: DataType): Column =
+    element_at(keyByAny, c.cast(StringType))
+  override def dumpExpr(c: Column): Column =
+    element_at(map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v).cast(StringType)) }: _*), c)
+}
+
+/** Flint.Types.Union (oneof:) — represented as a struct of nullable branches
+  * plus a `branch` tag; eager mode takes the first branch whose cast succeeds,
+  * in declared order; all-null => cast violation
+  * (reference: lib/flint/types/union.ex:68-90).
+  * Lazy (type-preserving) mode first tries the branch matching the input's
+  * native type (union.ex:168-183 inference witnesses).
+  */
+case class FUnion(branches: Seq[FType], lazyInfer: Boolean = false) extends FType {
+  require(branches.nonEmpty, "union needs at least one branch")
+  val name = "union"
+  val sparkType: DataType = StructType(
+    StructField("branch", StringType) +:
+      branches.zipWithIndex.map { case (b, i) => StructField(s"b$i", b.sparkType) })
+
+  private def branchMatchesNative(b: FType, in: DataType): Boolean = (b, in) match {
+    case (FInteger, dt) if FType.isIntegral(dt)                  => true
+    case (FFloat, _: FloatType | _: DoubleType)                  => true
+    case (_: FString, _: StringType)                             => true
+    case (FBoolean, _: BooleanType)                              => true
+    case (FDecimal, _: DecimalType)                              => true
+    case _                                                        => false
+  }
+
+  def castExpr(c: Column, in: DataType): Column = {
+    val ordered =
+      if (lazyInfer) {
+        val (native, rest) = branches.zipWithIndex.partition { case (b, _) => branchMatchesNative(b, in) }
+        native ++ rest
+      } else branches.zipWithIndex
+    val tag = ordered.foldRight(lit(null).cast(StringType)) { case ((b, i), acc) =>
+      when(b.castExpr(c, in).isNotNull, lit(s"b$i")).otherwise(acc)
+    }
+    when(tag.isNotNull, struct(
+      tag.as("branch") +: branches.zipWithIndex.map { case (b, i) =>
+        when(tag === lit(s"b$i"), b.castExpr(c, in)).otherwise(lit(null).cast(b.sparkType)).as(s"b$i")
+      }: _*)).otherwise(nullOf)
+  }
+
+  /** dump: first non-null branch, stringified (scalar branches identity-ish). */
+  override def dumpExpr(c: Column): Column =
+    coalesce(branches.zipWithIndex.map { case (b, i) => b.dumpExpr(c.getField(s"b$i")).cast(StringType) }: _*)
+
+  /** Which branch name a cast value took, e.g. "integer"/"float". */
+  def branchName(c: Column): Column = {
+    val m = map(branches.zipWithIndex.flatMap { case (b, i) => Seq(lit(s"b$i"), lit(b.name)) }: _*)
+    element_at(m, c.getField("branch"))
+  }
+}
+
+/** Custom type (C11, reference lib/type.ex deftype/extends): delegate to a base
+  * type, override cast/dump with plain Column lambdas.
+  */
+case class FCustom(
+    name: String,
+    base: FType,
+    castOverride: Option[(Column, DataType) => Column] = None,
+    dumpOverride: Option[Column => Column] = None,
+    sparkTypeOverride: Option[DataType] = None)
+    extends FType {
+  val sparkType: DataType = sparkTypeOverride.getOrElse(base.sparkType)
+  def castExpr(c: Column, in: DataType): Column =
+    castOverride.map(_(c, in)).getOrElse(base.castExpr(c, in))
+  override def dumpExpr(c: Column): Column =
+    dumpOverride.map(_(c)).getOrElse(base.dumpExpr(c))
+}

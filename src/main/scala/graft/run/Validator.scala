@@ -1,0 +1,133 @@
+package graft.run
+
+import graft.dsl._
+import graft.compile.SchemaCompiler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Result of validating a Dataset against a [[SchemaSpec]] — the table-scope
+  * counterpart of the reference's per-record changeset (reference:
+  * lib/changeset.ex). All three views derive lazily from one annotated plan;
+  * Catalyst prunes whichever columns a given view doesn't read.
+  */
+final case class ValidationResult(
+    spec: SchemaSpec,
+    /** input rows + coerced field values + `violations` array + `valid` flag */
+    annotated: DataFrame) {
+
+  /** E2 `new/2`: coerced record values applied regardless of validity. */
+  def coerced: DataFrame = {
+    val cols = spec.keyColumns.map(k => annotated(k)) ++
+      (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).map(n => annotated(n))
+    annotated.select(cols: _*)
+  }
+
+  /** north_star violation rows: (keys..., constraint_id, reason). */
+  def violations: DataFrame =
+    annotated
+      .select(spec.keyColumns.map(annotated(_)) :+
+        explode(annotated("violations")).as("v"): _*)
+      .select(spec.keyColumns.map(col) :+
+        col("v.constraint_id").as("constraint_id") :+ col("v.reason").as("reason"): _*)
+
+  /** Rows that passed every constraint. */
+  def validRows: DataFrame = annotated.filter(annotated("valid")).drop("violations", "valid")
+
+  /** N3: per-partition pass/fail summary via partial+final hash aggregate. */
+  def partitionSummary: DataFrame =
+    annotated
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("valid_rows"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_rows"),
+        sum(size(col("violations")).cast(LongType)).as("violations"))
+
+  /** Pass/fail summary grouped by arbitrary columns (oracle-checkable flavor
+    * of N3 — partition ids are engine-specific, group keys are not). */
+  def summaryBy(groupCols: String*): DataFrame =
+    annotated
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("valid_rows"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_rows"),
+        sum(size(col("violations")).cast(LongType)).as("violations"))
+
+  /** E3 `new!/2`: throw with a bounded sample of violations when any row fails. */
+  def orThrow(sample: Int = 5): DataFrame = {
+    val bad = violations.limit(sample).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"validation of ${spec.name} failed; sample violations: " +
+          bad.map(_.mkString("(", ", ", ")")).mkString("; "))
+    coerced
+  }
+}
+
+object Validator {
+
+  /** E1 `changeset/3` lifted to a whole Dataset: single narrow pass, no shuffle. */
+  def validate(spec: SchemaSpec, df: DataFrame, bindings: Map[String, Any] = Map.empty): ValidationResult = {
+    val violArr = SchemaCompiler.violationsArray(spec, df, bindings)
+    val values = SchemaCompiler.coercedValues(spec, df, bindings)
+    val keyCols = spec.keyColumns.map(k => df(k).as(k))
+    val valueCols = (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).map(n => values(n).as(n))
+    val passthrough = df.columns
+      .filterNot(c => spec.keyColumns.contains(c))
+      .filterNot(c => spec.fields.exists(f => f.name == c || f.input == c))
+      .filterNot(c => spec.embeds.exists(e => e.name == c || e.input == c))
+      .toSeq.map(c => df(c).as(c))
+    val annotated = df.select(
+      keyCols ++ valueCols ++ passthrough :+
+        violArr.as("violations") :+
+        (size(violArr) === 0).as("valid"): _*)
+    ValidationResult(spec, annotated)
+  }
+
+  /** E4/P3/P4 dump: serialized projection applying each type's dumpExpr and the
+    * JSON options (name:, ignore:) as column renames/drops
+    * (reference: lib/flint/extensions/json.ex:120-169).
+    */
+  def dump(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
+    val cols = spec.keyColumns.map(k => coerced(k)) ++
+      spec.fields.filterNot(f => f.ignore || f.virtual).map { f =>
+        f.ftype.dumpExpr(coerced(f.name)).as(f.jsonName.getOrElse(f.name))
+      }
+    coerced.select(cols: _*)
+  }
+
+  /** P4 exact-JSON dump: one JSON string per row with deterministic key order,
+    * honoring name:/omitempty:/ignore:. Null handling is explicit — only
+    * omitempty fields drop when null (Spark's to_json can't express that mix).
+    */
+  def dumpJson(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
+    def scalarJson(c: Column, t: FType): Column = {
+      val dumped = t.dumpExpr(c)
+      t match {
+        case _: FString | FDecimal | FDate | FNaiveDatetime | FUtcDatetime | _: FEnum =>
+          concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
+        case FInteger | FFloat | FBoolean => dumped.cast(StringType)
+        case _ => concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
+      }
+    }
+    val frags: Seq[Column] = spec.fields.filterNot(f => f.ignore || f.virtual).map { f =>
+      val key = f.jsonName.getOrElse(f.name)
+      val c = coerced(f.name)
+      val kv = concat(lit("\"" + key + "\":"),
+        when(c.isNull, lit("null")).otherwise(scalarJson(c, f.ftype)))
+      if (f.omitEmpty) when(c.isNull, lit(null)).otherwise(kv) else kv
+    }
+    val body = concat_ws(",", frags: _*)
+    coerced.select(spec.keyColumns.map(coerced(_)) :+
+      concat(lit("{"), body, lit("}")).as("json"): _*)
+  }
+
+  private def jsonEscape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+        lit("\""), lit("\\\\\"")),
+      lit("\n"), lit("\\\\n"))
+}

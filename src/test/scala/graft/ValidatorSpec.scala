@@ -1,0 +1,309 @@
+package graft
+
+import graft.dsl._
+import graft.run.Validator
+import org.apache.spark.sql.functions._
+
+/** Golden-parity tests re-encoding the reference's executable examples
+  * (its only test corpus — README + notebook cells; SURVEY §5).
+  */
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viols(r: graft.run.ValidationResult): Set[(String, String, String)] =
+    r.violations.collect().map(row =>
+      (row.getAs[Any](0).toString, row.getString(1), row.getString(2))).toSet
+
+  // ---- README.md:219-260 Person parameterized validators -------------------
+  val person = SchemaSpec(
+    "person",
+    fields = Seq(
+      Field.string("first_name").req.lenMin(5).lenMax(10),
+      Field.string("last_name").req.lenMin(5).lenMax(10),
+      Field.array("favorite_colors", FString()).subsetOf("red", "blue", "green"),
+      Field.integer("age").req.gt(0).lt((ctx: Ctx) => ctx.b("max_age"))),
+    keyColumns = Seq("id"))
+
+  test("person: README parameterized example yields exact Ecto-shaped violations") {
+    val df = Seq((1, "Bob", "Smith", Seq("red", "blue", "pink"), 101L))
+      .toDF("id", "first_name", "last_name", "favorite_colors", "age")
+    val r = Validator.validate(person, df, Map("max_age" -> 100))
+    assert(viols(r) === Set(
+      ("1", "first_name.min", "should be at least 5 character(s)"),
+      ("1", "favorite_colors.subset", "has an invalid entry"),
+      ("1", "age.less_than", "must be less than 100")))
+    val c = r.coerced.collect().head
+    assert(c.getAs[String]("first_name") === "Bob")
+    assert(c.getAs[Long]("age") === 101L)
+  }
+
+  test("person: valid row has no violations and valid=true") {
+    val df = Seq((2, "Alice", "Jones", Seq("red"), 30L))
+      .toDF("id", "first_name", "last_name", "favorite_colors", "age")
+    val r = Validator.validate(person, df, Map("max_age" -> 100))
+    assert(r.violations.count() === 0)
+    assert(r.validRows.count() === 1)
+  }
+
+  test("required: missing/null/empty-string all yield can't be blank") {
+    val df = Seq((1, null.asInstanceOf[String]), (2, ""), (3, "ok"))
+      .toDF("id", "name")
+    val spec = SchemaSpec("s", Seq(Field.string("name").req), keyColumns = Seq("id"))
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(
+      ("1", "name.required", "can't be blank"),
+      ("2", "name.required", "can't be blank")))
+  }
+
+  test("cast: uncastable value emits is invalid AND required (Ecto both-errors)") {
+    val df = Seq((1, "abc"), (2, "42"), (3, "4.5")).toDF("id", "n")
+    val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(
+      ("1", "n.cast", "is invalid"),
+      ("1", "n.required", "can't be blank"),
+      ("3", "n.cast", "is invalid"),
+      ("3", "n.required", "can't be blank")))
+  }
+
+  test("changes-gating: validators only fire for present+cast-ok fields (§1.3)") {
+    val df = Seq((1, null.asInstanceOf[String])).toDF("id", "n")
+    val spec = SchemaSpec("s", Seq(Field.integer("n").gt(10)), keyColumns = Seq("id"))
+    // n absent => no gt violation, not required => no violations at all
+    assert(Validator.validate(spec, df).violations.count() === 0)
+  }
+
+  test("default value short-circuits required check (C6)") {
+    val df = Seq((1, null.asInstanceOf[String]), (2, "fr")).toDF("id", "lang")
+    val spec = SchemaSpec("s",
+      Seq(Field.string("lang").req.withDefault("unknown")), keyColumns = Seq("id"))
+    val r = Validator.validate(spec, df)
+    assert(r.violations.count() === 0)
+    assert(r.coerced.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "unknown"), (2, "fr")))
+  }
+
+  // ---- README.md:161-195 Character block validations ------------------------
+  val character = SchemaSpec(
+    "character",
+    fields = Seq(
+      Field.string("type").req.blockClauses(
+        BlockClause.failWhen(
+          ctx => !ctx("type").isin("elf", "human"),
+          "Expected elf or human")),
+      Field.integer("age").req.blockClauses(
+        BlockClause.failWhen(ctx => ctx("age") < 0, "Nobody can have a negative age"),
+        BlockClause.failWhen(
+          ctx => ctx("type") === "elf" && ctx("age") > ctx.b("max_elf_age"),
+          "Attention! The elf has become a bug! Should be dead already!"),
+        BlockClause.failWhen(
+          ctx => ctx("type") === "human" && ctx("age") > ctx.b("max_human_age"),
+          "Expected human to be younger"))),
+    keyColumns = Seq("id"),
+    bindings = Map("max_elf_age" -> 400, "max_human_age" -> 120))
+
+  test("character: block clauses fire with clause indices (X2)") {
+    val df = Seq(
+      (1, "elf", 10L),     // ok
+      (2, "orc", 10L),     // type clause 1
+      (3, "elf", 500L),    // age clause 2
+      (4, "human", 121L),  // age clause 3
+      (5, "human", -1L))   // age clause 1
+      .toDF("id", "type", "age")
+    val r = Validator.validate(character, df)
+    assert(viols(r) === Set(
+      ("2", "type.block.1", "Expected elf or human"),
+      ("3", "age.block.2", "Attention! The elf has become a bug! Should be dead already!"),
+      ("4", "age.block.3", "Expected human to be younger"),
+      ("5", "age.block.1", "Nobody can have a negative age")))
+  }
+
+  test("block: multiple failing clauses accumulate (feature_guide.livemd:438)") {
+    val spec = SchemaSpec("s", Seq(
+      Field.integer("x").blockClauses(
+        BlockClause.failWhen(ctx => ctx("x") < 10, "too small"),
+        BlockClause.failWhen(ctx => ctx("x") % 2 === 1, "odd"))),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 3L), (2, 12L), (3, 13L)).toDF("id", "x")
+    assert(viols(Validator.validate(spec, df)) === Set(
+      ("1", "x.block.1", "too small"),
+      ("1", "x.block.2", "odd"),
+      ("3", "x.block.2", "odd")))
+  }
+
+  test("block X3 quirk: passing truthy clause resets earlier block errors") {
+    // clause1 fails, clause2 condition truthy but expr passes (null msg) => reset
+    val spec = SchemaSpec("s", Seq(
+      Field.integer("x").blockClauses(
+        BlockClause.failWhen(ctx => ctx("x") < 10, "too small"),
+        BlockClause.check(ctx => ctx("x") > 0, _ => lit(null)),
+        BlockClause.failWhen(ctx => ctx("x") % 2 === 1, "odd"))),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 3L)).toDF("id", "x") // clause1 fires, clause2 resets, clause3 fires
+    assert(viols(Validator.validate(spec, df)) === Set(("1", "x.block.3", "odd")))
+  }
+
+  test("block: null condition emits generic clause error") {
+    val spec = SchemaSpec("s", Seq(
+      Field.integer("x").blockClauses(
+        BlockClause.failWhen(ctx => lit(null).cast("boolean"), "unreachable"))),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 3L)).toDF("id", "x")
+    assert(viols(Validator.validate(spec, df)) === Set(
+      ("1", "x.block.1", "Error evaluating expression in Clause #1 of `do:` block")))
+  }
+
+  // ---- when (X1) -------------------------------------------------------------
+  test("when: falsy or null predicate fails with exact reference reason") {
+    val spec = SchemaSpec("s", Seq(
+      Field.integer("score").req.when(ctx => ctx("score") > ctx("rating")),
+      Field.integer("rating").req),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 50L, 80L), (2, 90L, 80L)).toDF("id", "score", "rating")
+    assert(viols(Validator.validate(spec, df)) === Set(
+      ("1", "score.when", "Failed `:when` validation")))
+  }
+
+  // ---- derive / map (P1/P2) ---------------------------------------------------
+  test("derive overwrites; validators see derived value; map runs after") {
+    val spec = SchemaSpec("s", Seq(
+      Field.string("name").req
+        .derived(ctx => lower(ctx("name")))
+        .lenMin(3)
+        .mapped(ctx => concat(ctx("name"), lit("!")))),
+      keyColumns = Seq("id"))
+    val df = Seq((1, "ABCD"), (2, "AB")).toDF("id", "name")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(("2", "name.min", "should be at least 3 character(s)")))
+    assert(r.coerced.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "abcd!"), (2, "ab!")))
+  }
+
+  test("derive gating: code-as-written skips absent fields; deriveAlways derives (§1.3)") {
+    val fields = Seq(
+      Field.integer("rating").req,
+      Field.integer("score").derived(ctx => ctx("rating") * 2))
+    val df = Seq((1, 10L)).toDF("id", "rating") // score absent from input
+    val gated = Validator.validate(SchemaSpec("s", fields, keyColumns = Seq("id")), df)
+    assert(gated.coerced.select("score").as[Option[Long]].collect().head === None)
+    val always = Validator.validate(
+      SchemaSpec("s", fields, keyColumns = Seq("id"), deriveAlways = true), df)
+    assert(always.coerced.select("score").as[Option[Long]].collect().head === Some(20L))
+  }
+
+  // ---- enum / union / custom types --------------------------------------------
+  test("enum: cast accepts key or dumped value -> key; dump emits value (C10)") {
+    val genre = FEnum(Seq("biography" -> 0, "science_fiction" -> 1))
+    val spec = SchemaSpec("s", Seq(Field.of("genre", genre).req), keyColumns = Seq("id"))
+    val df = Seq((1, "biography"), (2, "1"), (3, "poetry")).toDF("id", "genre")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(
+      ("3", "genre.cast", "is invalid"),
+      ("3", "genre.required", "can't be blank")))
+    assert(r.coerced.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "biography"), (2, "science_fiction"), (3, null)))
+    val dumped = Validator.dump(spec, r.coerced)
+    assert(dumped.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "0"), (2, "1"), (3, null)))
+  }
+
+  test("union eager: first branch in declared order wins; none -> cast error (C8)") {
+    val u = FUnion(Seq(FInteger, FFloat))
+    val spec = SchemaSpec("s", Seq(Field.of("v", u)), keyColumns = Seq("id"))
+    val df = Seq((1, "42"), (2, "3.5"), (3, "abc")).toDF("id", "v")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(("3", "v.cast", "is invalid")))
+    val rows = r.annotated.select($"id", u.branchName($"v").as("b")).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(rows === Seq((1, "integer"), (2, "float"), (3, null)))
+  }
+
+  test("union lazy: input's native type wins over declaration order (C7)") {
+    val u = FUnion(Seq(FInteger, FFloat), lazyInfer = true)
+    val spec = SchemaSpec("s", Seq(Field.of("v", u)), keyColumns = Seq("id"))
+    val df = Seq((1, 2.0)).toDF("id", "v") // double input; eager would pick integer
+    val r = Validator.validate(spec, df)
+    assert(r.annotated.select(u.branchName($"v")).as[String].collect().head === "float")
+  }
+
+  test("custom type: cast/dump override round-trip (C11, README ContentType)") {
+    val contentType = FCustom(
+      "content_type", FString(),
+      castOverride = Some((c, _) =>
+        when(c === "application/json", lit("json")).otherwise(lit(null).cast("string"))),
+      dumpOverride = Some(c => concat(lit("application/"), c)))
+    val spec = SchemaSpec("s", Seq(Field.of("ct", contentType)), keyColumns = Seq("id"))
+    val df = Seq((1, "application/json"), (2, "bogus")).toDF("id", "ct")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(("2", "ct.cast", "is invalid")))
+    assert(Validator.dump(spec, r.coerced).orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "application/json"), (2, null)))
+  }
+
+  // ---- strict string cast (Ecto parity) ---------------------------------------
+  test("strict :string rejects non-string input; lenient accepts") {
+    val dfNum = Seq((1, 42L)).toDF("id", "s")
+    val strict = SchemaSpec("s", Seq(Field.string("s")), keyColumns = Seq("id"))
+    assert(viols(Validator.validate(strict, dfNum)) === Set(("1", "s.cast", "is invalid")))
+    val lenient = SchemaSpec("s", Seq(Field.stringLenient("s")), keyColumns = Seq("id"))
+    assert(Validator.validate(lenient, dfNum).violations.count() === 0)
+  }
+
+  // ---- number/format/inclusion/exclusion reasons -------------------------------
+  test("validator reason strings match Ecto defaults") {
+    val spec = SchemaSpec("s", Seq(
+      Field.integer("a").ge(10),
+      Field.integer("b").le(10),
+      Field.integer("c").eqTo(10),
+      Field.integer("d").neTo(10),
+      Field.string("e").format("^[a-z]+$"),
+      Field.string("f").in("x", "y"),
+      Field.string("g").notIn("bad")),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 5L, 15L, 5L, 10L, "UPPER", "z", "bad")).toDF(
+      "id", "a", "b", "c", "d", "e", "f", "g")
+    assert(viols(Validator.validate(spec, df)) === Set(
+      ("1", "a.greater_than_or_equal_to", "must be greater than or equal to 10"),
+      ("1", "b.less_than_or_equal_to", "must be less than or equal to 10"),
+      ("1", "c.equal_to", "must be equal to 10"),
+      ("1", "d.not_equal_to", "must be not equal to 10"),
+      ("1", "e.format", "has invalid format"),
+      ("1", "f.inclusion", "is invalid"),
+      ("1", "g.exclusion", "is reserved")))
+  }
+
+  // ---- JSON dump (P4) -----------------------------------------------------------
+  test("dumpJson: name/omitempty/ignore with explicit null handling") {
+    val spec = SchemaSpec("s", Seq(
+      Field.string("id2").json(name = "ISBN"),
+      Field.string("title"),
+      Field.string("author").json(omitempty = true),
+      Field.string("notes").json(skip = true)),
+      keyColumns = Seq("id"))
+    val df = Seq((1, "x1", "T", null.asInstanceOf[String], "n")).toDF(
+      "id", "id2", "title", "author", "notes")
+    val r = Validator.validate(spec, df)
+    val js = Validator.dumpJson(spec, r.coerced).select("json").as[String].collect().head
+    assert(js === """{"ISBN":"x1","title":"T"}""")
+  }
+
+  test("orThrow raises on invalid with sample (E3 new!)") {
+    val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
+    val bad = Seq((1, 5L)).toDF("id", "n")
+    intercept[IllegalArgumentException] { Validator.validate(spec, bad).orThrow() }
+    val ok = Seq((1, 50L)).toDF("id", "n")
+    assert(Validator.validate(spec, ok).orThrow().count() === 1)
+  }
+
+  test("summary: per-partition and grouped pass/fail counts (N3)") {
+    val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
+    val df = spark.range(100).select($"id", ($"id" % 20).as("n"))
+    val r = Validator.validate(spec, df)
+    val total = r.partitionSummary.agg(
+      sum("rows"), sum("valid_rows"), sum("violations")).as[(Long, Long, Long)].collect().head
+    // n in 0..19 per id%20; n>10 valid => 9 of 20 valid (11..19); n=0..10 invalid
+    assert(total === ((100L, 45L, 55L)))
+    val grouped = r.summaryBy("valid").orderBy("valid").collect()
+    assert(grouped.length === 2)
+  }
+}

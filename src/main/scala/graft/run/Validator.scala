@@ -72,7 +72,10 @@ object Validator {
   def validate(spec: SchemaSpec, df: DataFrame, bindings: Map[String, Any] = Map.empty): ValidationResult = {
     val violArr = SchemaCompiler.violationsArray(spec, df, bindings)
     val values = SchemaCompiler.coercedValues(spec, df, bindings)
-    val keyCols = spec.keyColumns.map(k => df(k).as(k))
+    val fieldNames = (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).toSet
+    // a key column that is also a declared field is represented by its coerced
+    // field column — avoids a duplicate (ambiguous) attribute in `annotated`
+    val keyCols = spec.keyColumns.filterNot(fieldNames).map(k => df(k).as(k))
     val valueCols = (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).map(n => values(n).as(n))
     val passthrough = df.columns
       .filterNot(c => spec.keyColumns.contains(c))

@@ -1,0 +1,177 @@
+package graft.suite
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-scope checks mandated by the north_rule — these have no counterpart in
+  * the per-record reference (SURVEY §2.7); they lift the same constraint model
+  * to dataset scope. All are single-job Spark aggregates/joins designed for
+  * 10^12-row inputs: partial+final hash aggregation, broadcast or salted joins,
+  * and only driver-side work on already-tiny results.
+  */
+object Checks {
+
+  // --------------------------------------------------------------------------
+  // N4: column-stats profiling — ONE aggregation pass over the table computes
+  // count / null-rate / approx-distinct (HyperLogLog++) / min / max for every
+  // requested column, then unpivots the single result row. At 100 TB this is
+  // a map-side-partial hash aggregate per column set — no shuffle of data rows,
+  // only of tiny partial sketches.
+  // --------------------------------------------------------------------------
+  def profile(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = false): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        count(col(c)).as(s"${c}__nonnull"),
+        (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__distinct"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__rows").cast(LongType).as("rows"),
+        (col(s"${c}__rows") - col(s"${c}__nonnull")).cast(LongType).as("null_count"),
+        col(s"${c}__distinct").cast(LongType).as("distinct_count"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))
+    }
+    one.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  // --------------------------------------------------------------------------
+  // N5: uniqueness on a key tuple — hash-aggregate groupBy(keys).count > 1.
+  // Map-side partial counting makes this one shuffle of (key, partial-count),
+  // not of full rows; AQE coalesces post-shuffle partitions.
+  // --------------------------------------------------------------------------
+  def uniqueness(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Violation-row flavor: every row whose key tuple is duplicated, joined back
+    * so the output carries the north_star (keys, constraint_id, reason) shape. */
+  def uniquenessViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    uniqueness(df, keys)
+      .select(keys.map(col) :+
+        lit("uniqueness." + keys.mkString("_")).as("constraint_id") :+
+        concat(lit("duplicate key ("), concat_ws(",", keys.map(c => col(c).cast(StringType)): _*),
+          lit(")")).as("reason"): _*)
+
+  // --------------------------------------------------------------------------
+  // N6: referential check child(fkCols) -> dim(pkCols) as a LEFT ANTI join.
+  // `broadcastDim` for small dims (no shuffle at all); for large dims the
+  // sort-merge path applies optional salting so one mega-key can't pin a task:
+  // child rows get a deterministic salt in [0,S), the dim is exploded xS, and
+  // the join key becomes (fk..., salt) — splitting each hot key S ways.
+  // --------------------------------------------------------------------------
+  def referentialViolations(
+      child: DataFrame,
+      fkCols: Seq[String],
+      dim: DataFrame,
+      pkCols: Seq[String],
+      broadcastDim: Boolean = true,
+      saltBuckets: Int = 0,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(fkCols.size == pkCols.size)
+    val dimKeys = dim.select(pkCols.map(col): _*).distinct()
+    val outKeys = if (keyCols.nonEmpty) keyCols else fkCols
+    val dangling =
+      if (broadcastDim) {
+        val cond = fkCols.zip(pkCols).map { case (f, p) => child(f) <=> dimKeys(p) }.reduce(_ && _)
+        child.join(broadcast(dimKeys), cond, "left_anti")
+      } else if (saltBuckets > 1) {
+        // deterministic per-row salt; dim replicated saltBuckets times
+        val saltedChild = child.withColumn("__salt",
+          pmod(xxhash64(outKeys.map(col): _*), lit(saltBuckets)).cast(IntegerType))
+        val saltedDim = dimKeys.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        val cond = (fkCols.zip(pkCols).map { case (f, p) => saltedChild(f) <=> saltedDim(p) } :+
+          (saltedChild("__salt") === saltedDim("__salt"))).reduce(_ && _)
+        saltedChild.join(saltedDim, cond, "left_anti").drop("__salt")
+      } else {
+        val cond = fkCols.zip(pkCols).map { case (f, p) => child(f) <=> dimKeys(p) }.reduce(_ && _)
+        child.join(dimKeys, cond, "left_anti")
+      }
+    dangling.select(outKeys.map(col) :+
+      lit("referential." + fkCols.mkString("_")).as("constraint_id") :+
+      concat(lit("dangling reference ("),
+        concat_ws(",", fkCols.map(c => col(c).cast(StringType)): _*), lit(")")).as("reason"): _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // N7: distribution drift.
+  //  - categorical (e.g. lang): groupBy(col).count histograms, PSI on driver.
+  //  - continuous (e.g. length(content)): width_bucket histogram, KS on driver.
+  // Histograms are tiny (bounded by bucket count), so collect() is safe at any
+  // input scale; the heavy lifting stays a distributed hash aggregate.
+  // --------------------------------------------------------------------------
+  def categoricalHistogram(df: DataFrame, c: Column, as: String = "key"): DataFrame =
+    df.groupBy(c.as(as)).agg(count(lit(1)).as("cnt"))
+
+  def bucketHistogram(df: DataFrame, c: Column, minV: Double, maxV: Double, buckets: Int): DataFrame =
+    df.groupBy(width_bucket(c.cast(DoubleType), lit(minV), lit(maxV), lit(buckets)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Population Stability Index between two categorical histograms
+    * (key -> count). Laplace-smoothed so unseen categories don't divide by 0. */
+  def psi(baseline: Map[String, Long], current: Map[String, Long], eps: Double = 1e-6): Double = {
+    val keys = (baseline.keySet ++ current.keySet).toSeq
+    val bTot = baseline.values.sum.toDouble.max(1)
+    val cTot = current.values.sum.toDouble.max(1)
+    keys.map { k =>
+      val p = baseline.getOrElse(k, 0L) / bTot + eps
+      val q = current.getOrElse(k, 0L) / cTot + eps
+      (q - p) * math.log(q / p)
+    }.sum
+  }
+
+  /** Two-sample KS statistic from binned histograms (bucket -> count), i.e.
+    * max |CDF_a - CDF_b| over bucket boundaries. Binned per north_star
+    * ("histograms"); exactness bounded by bucket width. */
+  def ksFromHistograms(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+    val buckets = (a.keySet ++ b.keySet).toSeq.sorted
+    val aTot = a.values.sum.toDouble.max(1)
+    val bTot = b.values.sum.toDouble.max(1)
+    var ca = 0.0; var cb = 0.0; var ks = 0.0
+    for (k <- buckets) {
+      ca += a.getOrElse(k, 0L) / aTot
+      cb += b.getOrElse(k, 0L) / bTot
+      ks = math.max(ks, math.abs(ca - cb))
+    }
+    ks
+  }
+
+  /** Full drift check: categorical PSI + continuous KS against a baseline
+    * snapshot; emits suite-level violation descriptors when thresholds trip. */
+  case class DriftReport(psiValue: Double, ksValue: Double, psiThreshold: Double, ksThreshold: Double) {
+    def violations: Seq[(String, String)] = {
+      val v = Seq.newBuilder[(String, String)]
+      if (psiValue > psiThreshold)
+        v += (("drift.psi", f"PSI $psiValue%.4f exceeds threshold $psiThreshold%.4f"))
+      if (ksValue > ksThreshold)
+        v += (("drift.ks", f"KS $ksValue%.4f exceeds threshold $ksThreshold%.4f"))
+      v.result()
+    }
+  }
+
+  def driftCheck(
+      current: DataFrame, baseline: DataFrame,
+      categoricalCol: String, continuousCol: Column,
+      minV: Double, maxV: Double, buckets: Int = 64,
+      psiThreshold: Double = 0.2, ksThreshold: Double = 0.1): DriftReport = {
+    def cat(df: DataFrame): Map[String, Long] =
+      categoricalHistogram(df, col(categoricalCol)).collect()
+        .map(r => Option(r.get(0)).map(_.toString).getOrElse(" null") -> r.getLong(1)).toMap
+    def cont(df: DataFrame): Map[Long, Long] =
+      bucketHistogram(df, continuousCol, minV, maxV, buckets).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    DriftReport(
+      psi(cat(baseline), cat(current)),
+      ksFromHistograms(cont(baseline), cont(current)),
+      psiThreshold, ksThreshold)
+  }
+}

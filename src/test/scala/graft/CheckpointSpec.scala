@@ -1,0 +1,75 @@
+package graft
+
+import graft.checkpoint.CheckpointedRunner
+import graft.run.Validator
+import graft.suite.CodeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** N9: kill-and-resume yields identical final outputs; manifest records
+  * per-bucket lineage + metrics; completed buckets are never re-read.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-ckpt").toString
+
+  private val numBuckets = 8
+
+  private def process(in: DataFrame): DataFrame =
+    Validator.validate(CodeTable.codeSchema,
+      in.withColumn("sha_fixture", col("content_sha256"))).violations
+
+  test("kill after k buckets, resume processes exactly the complement; outputs identical") {
+    val root = tmp()
+    val staging = s"$root/staging"; val out1 = s"$root/out1"; val m1 = s"$root/m1"
+    val df = CodeTable.generate(spark, 5000)
+    CheckpointedRunner.stage(df, Seq("repo", "path"), numBuckets, staging)
+
+    // full run in one go
+    val all = CheckpointedRunner.run(spark, staging, m1, out1, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "run-a")
+    assert(all === (0 until numBuckets))
+
+    // interrupted run: only 3 buckets, then resume
+    val out2 = s"$root/out2"; val m2 = s"$root/m2"
+    val first = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b", maxBuckets = 3)
+    assert(first === Seq(0, 1, 2))
+    val resumed = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b2")
+    assert(resumed === (3 until numBuckets))
+
+    // identical final content
+    val a = spark.read.parquet(out1)
+    val b = spark.read.parquet(out2)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+
+    // third invocation: nothing pending, nothing reprocessed
+    val again = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b3")
+    assert(again.isEmpty)
+
+    // manifest carries lineage + metrics
+    val manifest = spark.read.schema(CheckpointedRunner.manifestSchema).parquet(m2)
+    assert(manifest.count() === numBuckets)
+    val row = manifest.filter(col("bucket") === 0).collect().head
+    assert(row.getAs[String]("input_path") === staging)
+    assert(row.getAs[Long]("rows") > 0)
+    assert(row.getAs[String]("status") === "done")
+  }
+
+  test("staged layout partition-prunes: per-bucket read touches one directory") {
+    val root = tmp()
+    val staging = s"$root/staging"
+    CheckpointedRunner.stage(CodeTable.generate(spark, 1000), Seq("repo", "path"), numBuckets, staging)
+    val one = spark.read.parquet(staging).filter(col("bucket") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    // PartitionFilters prune to bucket=3 (no full scan on resume)
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    val total = spark.read.parquet(staging).count()
+    assert(one.count() < total)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.suite.{Checks, CodeTable}
+import graft.run.Validator
+import org.apache.spark.sql.functions._
+
+/** Table-scope checks (N4-N7) over the deterministic synthesized code table
+  * with analytically-known planted violations (FIXTURES.md §B).
+  */
+class SuiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 20000L
+  lazy val base = CodeTable.generate(spark, N).cache()
+  lazy val table = CodeTable.withPlantedDuplicates(base, N).cache()
+  lazy val dim = CodeTable.dimRepoCommits(base)
+
+  private def plantedCount(mod: Long): Long = (0L until N).count(_ % mod == 0).toLong
+
+  test("row rules: planted violation counts are exact") {
+    val withFixture = table.withColumn("sha_fixture", col("content_sha256"))
+    val r = Validator.validate(CodeTable.codeSchema, withFixture)
+    val byCid = r.violations.groupBy("constraint_id").count()
+      .as[(String, Long)].collect().toMap
+    // duplicated rows (id%101==0) carry the same planted defects twice
+    def withDups(mod: Long): Long =
+      (0L until N).map(i => if (i % mod == 0) (if (i % 101 == 0) 2L else 1L) else 0L).sum
+    assert(byCid.getOrElse("path.format", 0L) === withDups(97))
+    assert(byCid.getOrElse("lang.inclusion", 0L) === withDups(89))
+    assert(byCid.getOrElse("content.required", 0L) === withDups(83))
+    assert(byCid.get("repo.format") === None)
+    assert(byCid.get("commit.format") === None)
+    assert(byCid.get("content.when") === None) // sha parity holds by construction
+  }
+
+  test("sha256 parity violation is detected when content is corrupted") {
+    val corrupted = base.withColumn("sha_fixture",
+      when(col("id") % 500 === 0, lit("deadbeef")).otherwise(col("content_sha256")))
+    val r = Validator.validate(CodeTable.codeSchema, corrupted)
+    val n = r.violations.filter($"constraint_id" === "content.when").count()
+    // rows with empty content (id%83==0) are not in changes => when-rule skipped
+    val expected = (0L until N).count(i => i % 500 == 0 && i % 83 != 0).toLong
+    assert(n === expected)
+  }
+
+  test("N5 uniqueness: exactly the planted duplicate keys, each with count 2") {
+    val dups = Checks.uniqueness(table, Seq("repo", "path", "commit"))
+      .as[(String, String, String, Long)].collect()
+    assert(dups.length === plantedCount(101))
+    assert(dups.forall(_._4 == 2L))
+    val viols = Checks.uniquenessViolations(table, Seq("repo", "path", "commit"))
+    assert(viols.count() === plantedCount(101))
+    assert(viols.columns.toSeq === Seq("repo", "path", "commit", "constraint_id", "reason"))
+  }
+
+  test("N6 referential: broadcast and salted sort-merge agree on planted dangling commits") {
+    val expected = (0L until N).map(i =>
+      if (i % 79 == 0) (if (i % 101 == 0) 2L else 1L) else 0L).sum
+    val viaBroadcast = Checks.referentialViolations(
+      table, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+      broadcastDim = true, keyCols = Seq("repo", "path"))
+    assert(viaBroadcast.count() === expected)
+    val viaSalted = Checks.referentialViolations(
+      table, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+      broadcastDim = false, saltBuckets = 8, keyCols = Seq("repo", "path"))
+    assert(viaSalted.count() === expected)
+    // identical violation sets, not just counts
+    assert(viaBroadcast.exceptAll(viaSalted).count() === 0)
+    assert(viaSalted.exceptAll(viaBroadcast).count() === 0)
+  }
+
+  test("N4 profile: one-pass column stats are exact where exact, sane where approx") {
+    val p = Checks.profile(base, Seq("repo", "lang", "content"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("repo").getLong(1) === N)
+    assert(p("repo").getLong(2) === 0L) // no null repos
+    val langDistinct = p("lang").getLong(3)
+    assert(langDistinct === (CodeTable.langs.size + 1).toLong) // + klingon
+    assert(p("lang").getString(4) === "elixir") // min lexicographic
+    // approx flavor within HLL tolerance
+    val approx = Checks.profile(base, Seq("repo"), exactDistinct = false).collect().head
+    val exact = p("repo").getLong(3).toDouble
+    assert(math.abs(approx.getLong(3) - exact) / exact < 0.10) // HLL++ default rsd 5%
+  }
+
+  test("N7 drift: identical snapshot ~0; drifted snapshot trips PSI and KS") {
+    val same = Checks.driftCheck(base, base, "lang", length(col("content")), 0, 600)
+    assert(same.psiValue < 1e-9 && same.ksValue < 1e-9)
+    assert(same.violations.isEmpty)
+    // drifted: drop most scala rows and truncate content
+    val drifted = base.filter(col("lang") =!= "scala" || col("id") % 10 === 0)
+      .withColumn("content", substring(col("content"), 1, 60))
+    val rep = Checks.driftCheck(drifted, base, "lang", length(col("content")), 0, 600)
+    assert(rep.psiValue > 0.01)
+    assert(rep.ksValue > 0.1)
+    assert(rep.violations.exists(_._1 == "drift.ks"))
+  }
+
+  test("generation is deterministic: same seed => identical table") {
+    def fingerprint() = CodeTable.generate(spark, 1000)
+      .withColumn("h", xxhash64(col("repo"), col("path"), col("commit"), col("lang"), col("content")))
+      .agg(expr("bit_xor(h)")).as[Long].collect().head
+    val a = fingerprint()
+    val b = fingerprint()
+    assert(a === b)
+  }
+}

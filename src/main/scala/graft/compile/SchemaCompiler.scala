@@ -26,9 +26,12 @@ object SchemaCompiler {
   private def entry(cid: Column, reason: Column): Column =
     struct(cid.as("constraint_id"), reason.as("reason"))
 
-  /** One violation (or null) wrapped as a 1-element array for uniform concat. */
+  /** One violation wrapped as a 0/1-element array for uniform concat.
+    * Deliberately NOT a higher-order function (filter/lambda) — HOFs are
+    * CodegenFallback in Spark and would evict the whole projection from
+    * whole-stage codegen; when/array/concat stay codegen'd. */
   private def entryArr(fire: Column, cid: Column, reason: Column): Column =
-    filter(array(when(fire, entry(cid, reason))), x => x.isNotNull)
+    when(coalesce(fire, lit(false)), array(entry(cid, reason))).otherwise(emptyViols)
 
   /** Per-field compilation output. */
   private case class FieldOut(finalValue: Column, violArrays: Seq[Column], inChanges: Column)

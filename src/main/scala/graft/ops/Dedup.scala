@@ -54,13 +54,26 @@ object Dedup {
     Seq.fill(k)((next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
   }
 
-  /** MinHash signature (k longs) over word n-gram shingles. */
+  /** MinHash signature (k longs) over word n-gram shingles.
+    *
+    * ONE traversal of the shingle array: a single `aggregate` folds every
+    * shingle hash into all k running minima at once (acc[j] = min(acc[j],
+    * (a_j*h+b_j) mod p)). The naive shape — k separate
+    * `array_min(transform(...))` columns — re-evaluates the shingle pipeline
+    * k times per row (HOFs don't share subexpressions) and measured ~40x
+    * slower at sf0.1. */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int, seed: Long = 42L): Column = {
-    val sh = TextOps.shingles(text, shingleN)
-    val hs = transform(sh, s => pmod(xxhash64(s), lit(MersennePrime31)))
-    array(coeffs(numHashes, seed).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * a + b, lit(MersennePrime31))))
-    }: _*)
+    val hs = transform(TextOps.shingles(text, shingleN), s => pmod(xxhash64(s), lit(MersennePrime31)))
+    val cs = coeffs(numHashes, seed)
+    val aArr = array(cs.map(c => lit(c._1)): _*)
+    val bArr = array(cs.map(c => lit(c._2)): _*)
+    aggregate(
+      hs,
+      array_repeat(lit(MersennePrime31), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        zip_with(aArr, bArr, (a, b) => pmod(a * h + b, lit(MersennePrime31))),
+        (x, y) => least(x, y)))
   }
 
   /** LSH banding: (id, band_idx, band_hash) — `bands` bands of `rows` sig rows. */

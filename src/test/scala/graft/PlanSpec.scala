@@ -1,0 +1,98 @@
+package graft
+
+import graft.dsl._
+import graft.run.Validator
+import graft.suite.{Checks, CodeTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions: the properties that make the engine hold at
+  * 100 TB are checked, not assumed — no shuffle in row validation, column
+  * pruning reaches the parquet scan, joins broadcast when they should, and
+  * aggregates are partial+final.
+  */
+class PlanSpec extends SparkSpec {
+
+  private lazy val tableDir: String = {
+    val dir = Files.createTempDirectory("graft-plan").toString + "/t"
+    CodeTable.generate(spark, 2000).write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def table: DataFrame = spark.read.parquet(tableDir)
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("row validation is a single narrow pass: no exchange, whole-stage codegen") {
+    val r = Validator.validate(CodeTable.codeSchema,
+      table.withColumn("sha_fixture", col("content_sha256")))
+    val p = plan(r.annotated)
+    assert(!p.contains("Exchange"), s"row validation must not shuffle:\n$p")
+    // '*(n)' prefixes mark operators inside WholeStageCodegen in simple format;
+    // the validation Project itself must carry one (HOF lambdas would evict it)
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"validation projection not codegen'd:\n$p")
+    // no UDFs anywhere in the compiled pipeline
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("column pruning reaches the parquet scan for narrow rule sets") {
+    // a schema touching only `lang` must not read `content` (SURVEY §4)
+    val spec = SchemaSpec("narrow",
+      Seq(Field.string("lang").in(CodeTable.langs: _*)), keyColumns = Seq("repo"))
+    val viol = Validator.validate(spec, table).violations
+    val scan = viol.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("lang"), scan)
+    assert(!scan.contains("content"), s"content must be pruned from ReadSchema:\n$scan")
+  }
+
+  test("filter pushdown reaches the scan (PushedFilters)") {
+    val q = table.filter(col("lang") === "scala").select("repo", "path")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,scala)]"), p)
+  }
+
+  test("referential check uses a broadcast join for a small dim") {
+    val dim = CodeTable.dimRepoCommits(table)
+    val v = Checks.referentialViolations(table, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+      broadcastDim = true, keyCols = Seq("repo", "path"))
+    val p = plan(v)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("salted referential path shuffles on (key, salt), not raw key alone") {
+    val dim = CodeTable.dimRepoCommits(table)
+    val v = Checks.referentialViolations(table, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+      broadcastDim = false, saltBuckets = 8, keyCols = Seq("repo", "path"))
+    val p = plan(v)
+    assert(p.contains("__salt"), s"salt column must be part of the join key:\n$p")
+  }
+
+  test("profile is one partial+final aggregate pass") {
+    val p = plan(Checks.profile(table, Seq("repo", "lang", "content")))
+    assert(p.contains("Aggregate"), p) // Sort/ObjectHash/Hash — global agg, either is fine
+    // partial + final = exactly one exchange for the single global aggregate
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("uniqueness aggregates partially before the shuffle") {
+    val p = plan(Checks.uniqueness(table, Seq("repo", "path", "commit")))
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("grouped summary keeps one shuffle; violations explode adds none") {
+    val r = Validator.validate(CodeTable.codeSchema,
+      table.withColumn("sha_fixture", col("content_sha256")))
+    assert(!plan(r.violations).contains("Exchange"))
+    assert("Exchange".r.findAllIn(plan(r.summaryBy("lang"))).size === 1)
+  }
+
+  test("brute-force top-k plans as TakeOrdered (no global sort of the corpus)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = (0 until 64).map(_ => 0.1)
+    val p = plan(graft.ops.Similarity.topKCosine(e, "vec_id", "embedding", q, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

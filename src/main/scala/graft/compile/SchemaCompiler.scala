@@ -112,7 +112,7 @@ object SchemaCompiler {
     // ---- stage 3: Block (runs before derive — 0.6.0 order) ----------------
     // X3 quirk: a passing truthy clause resets earlier same-field block errors
     // (reference: lib/flint/extensions/block.ex:80-82).
-    for ((f, c) <- casted if f.block.nonEmpty) {
+    for ((f, c) <- casted if f.block.nonEmpty && spec.packEnabled(RulePacks.Block)) {
       val blockArr = f.block.zipWithIndex.foldLeft(emptyViols) { case (acc, (cl, i)) =>
         val cond = cl.cond(ctx)
         val msg = cl.result(ctx)
@@ -133,6 +133,7 @@ object SchemaCompiler {
     // deriveAlways exposes the documented always-derive behavior (SURVEY §1.3).
     val postDerive = casted.map { case (f, c) =>
       f.name -> (f.derive match {
+        case Some(_) if !spec.packEnabled(RulePacks.PreTransforms) => values(f.name)
         case Some(e) if spec.deriveAlways => e(ctx)
         case Some(e)                      => when(c.inChanges, e(ctx)).otherwise(values(f.name))
         case None                         => values(f.name)
@@ -143,7 +144,7 @@ object SchemaCompiler {
     // ---- stage 5: when (X1) -----------------------------------------------
     // falsy OR eval-failure (null) => "Failed `:when` validation"
     // (reference: lib/flint/extensions/when.ex:42-83).
-    for ((f, c) <- casted; rule <- f.whenRule) {
+    for ((f, c) <- casted if spec.packEnabled(RulePacks.When); rule <- f.whenRule) {
       viols = viols :+ entryArr(
         c.inChanges && !coalesce(rule(ctx), lit(false)),
         concat(prefix, lit(s"${f.name}.when")), lit("Failed `:when` validation"))
@@ -151,7 +152,7 @@ object SchemaCompiler {
 
     // ---- stage 6: validators (V1-V16) -------------------------------------
     // Ecto validators skip nil values; one violation row per failed validator.
-    for ((f, c) <- casted; v <- f.validators) {
+    for ((f, c) <- casted if spec.packEnabled(RulePacks.EctoValidations); v <- f.validators) {
       val value = values(f.name)
       viols = viols :+ entryArr(
         c.inChanges && value.isNotNull && !coalesce(v.pred(value, ctx), lit(false)),
@@ -161,6 +162,7 @@ object SchemaCompiler {
     // ---- stage 7: map (P2) -------------------------------------------------
     val postMap = casted.map { case (f, c) =>
       f.name -> (f.mapFn match {
+        case Some(_) if !spec.packEnabled(RulePacks.PostTransforms) => values(f.name)
         case Some(e) => when(c.inChanges, e(ctx)).otherwise(values(f.name))
         case None    => values(f.name)
       })

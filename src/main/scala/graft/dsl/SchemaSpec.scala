@@ -255,10 +255,26 @@ case class EmbedSpec(
   def input: String = inputColumn.getOrElse(name)
 }
 
+/** Rule-pack registry: each pack is one changeset-time stage, mirroring the
+  * reference's extension pipeline and its declaration order
+  * (reference: lib/flint.ex:12-24 default_extensions). */
+object RulePacks {
+  val Block = "block"
+  val PreTransforms = "pre_transforms"   // :derive
+  val When = "when"
+  val EctoValidations = "ecto_validations"
+  val PostTransforms = "post_transforms" // :map
+  val All: Seq[String] = Seq(Block, PreTransforms, When, EctoValidations, PostTransforms)
+}
+
 /** A compiled-spec-level schema: ordered fields + rule packs, the Scala
   * counterpart of `use Flint.Schema ... embedded_schema do ... end`
   * (reference: lib/schema.ex:392-415). `keyColumns` are carried into every
   * violation row (north_star shape: (repo, path, constraint_id, reason)).
+  *
+  * `only`/`except` filter the rule packs like the reference's
+  * `use Flint.Schema, only: [...]` / `except: [...]`; giving both is an error
+  * (reference: lib/flint.ex:9-10, 26-51).
   */
 case class SchemaSpec(
     name: String,
@@ -267,10 +283,22 @@ case class SchemaSpec(
     keyColumns: Seq[String] = Nil,
     bindings: Map[String, Any] = Map.empty,
     /** version-drift flag (SURVEY §1.3): derive even when field absent from input. */
-    deriveAlways: Boolean = false) {
+    deriveAlways: Boolean = false,
+    only: Option[Seq[String]] = None,
+    except: Option[Seq[String]] = None) {
   require(fields.nonEmpty || embeds.nonEmpty, s"schema $name has no fields")
+  require(only.isEmpty || except.isEmpty,
+    "only one of `only` or `except` may be given") // reference: lib/flint.ex:9-10
+  private val unknownPack = (only.toSeq.flatten ++ except.toSeq.flatten).filterNot(RulePacks.All.contains)
+  require(unknownPack.isEmpty, s"unknown rule pack(s): ${unknownPack.mkString(",")}")
   private val dup = (fields.map(_.name) ++ embeds.map(_.name)).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
   require(dup.isEmpty, s"duplicate field(s) in $name: ${dup.mkString(",")}")
+
+  def packEnabled(pack: String): Boolean = (only, except) match {
+    case (Some(o), _) => o.contains(pack)
+    case (_, Some(e)) => !e.contains(pack)
+    case _            => true
+  }
 
   def withBindings(b: (String, Any)*): SchemaSpec = copy(bindings = bindings ++ b)
   def field(n: String): FieldSpec = fields.find(_.name == n).getOrElse(

@@ -1,0 +1,111 @@
+package graft
+
+import graft.dsl._
+import graft.run.Validator
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY §5): cast idempotence, required/present invariants,
+  * union order-stability, pack filtering, byte-length counting.
+  * Properties run over batched generated inputs (one Spark job per property,
+  * not per sample).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cast idempotence: re-validating coerced output adds no violations (C2)") {
+    val spec = SchemaSpec("p", Seq(
+      Field.integer("a").gt(-1000000),
+      Field.float("b"),
+      Field.boolean("c"),
+      Field.string("d").lenMax(100)),
+      keyColumns = Seq("id"))
+    val samples = Gen.listOfN(200, for {
+      a <- Gen.oneOf(Gen.chooseNum(-99999, 99999).map(_.toString), Gen.alphaStr, Gen.const(null: String))
+      b <- Gen.oneOf(Gen.chooseNum(-1e6, 1e6).map(_.toString), Gen.alphaStr)
+      c <- Gen.oneOf("true", "false", "1", "0", "yes", "")
+      d <- Gen.alphaStr.map(_.take(80))
+    } yield (a, b, c, d)).sample.get
+    val df = samples.zipWithIndex.map { case ((a, b, c, d), i) => (i, a, b, c, d) }
+      .toDF("id", "a", "b", "c", "d")
+    val first = Validator.validate(spec, df)
+    val second = Validator.validate(spec, first.coerced)
+    assert(second.violations.count() === 0,
+      "coerced output must re-validate cleanly (typed values, no cast errors)")
+  }
+
+  test("required xor present: exactly one of value/required-violation per row") {
+    val spec = SchemaSpec("p", Seq(Field.string("v").req), keyColumns = Seq("id"))
+    val samples = Gen.listOfN(300, Gen.oneOf(
+      Gen.const(null: String), Gen.const(""), Gen.alphaNumStr.map(s => s.take(10)))).sample.get
+    val df = samples.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val r = Validator.validate(spec, df)
+    val joined = r.annotated.select($"id", $"v", size($"violations").as("nv"))
+      .as[(Int, String, Int)].collect()
+    joined.foreach { case (id, v, nv) =>
+      val blank = v == null || v.isEmpty
+      assert((nv == 1) == blank && (nv == 0) == !blank, s"row $id v=$v nv=$nv")
+    }
+  }
+
+  test("union eager order-stability: integer-castable strings always take branch b0") {
+    val u = FUnion(Seq(FInteger, FFloat))
+    val spec = SchemaSpec("p", Seq(Field.of("v", u)), keyColumns = Seq("id"))
+    val ints = Gen.listOfN(100, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)).sample.get
+    val df = ints.zipWithIndex.map { case (v, i) => (i, v.toString) }.toDF("id", "v")
+    val r = Validator.validate(spec, df)
+    val branches = r.annotated.select(u.branchName($"v")).as[String].collect()
+    assert(branches.forall(_ == "integer"))
+  }
+
+  test("only/except pack filtering (M1): disabled packs emit nothing; both given => error") {
+    val fields = Seq(
+      Field.integer("x").gt(100).when(ctx => ctx("x") > 50)
+        .blockClauses(BlockClause.failWhen(ctx => ctx("x") < 10, "small")))
+    val df = Seq((1, 5L)).toDF("id", "x") // violates gt, when, and block
+    val all = Validator.validate(SchemaSpec("p", fields, keyColumns = Seq("id")), df)
+    assert(all.violations.count() === 3)
+    val noValidators = Validator.validate(
+      SchemaSpec("p", fields, keyColumns = Seq("id"), except = Some(Seq(RulePacks.EctoValidations))), df)
+    assert(noValidators.violations.select("constraint_id").as[String].collect().toSet ===
+      Set("x.when", "x.block.1"))
+    val onlyBlock = Validator.validate(
+      SchemaSpec("p", fields, keyColumns = Seq("id"), only = Some(Seq(RulePacks.Block))), df)
+    assert(onlyBlock.violations.select("constraint_id").as[String].collect().toSet ===
+      Set("x.block.1"))
+    intercept[IllegalArgumentException] {
+      SchemaSpec("p", fields, keyColumns = Seq("id"),
+        only = Some(Seq("block")), except = Some(Seq("when")))
+    }
+    intercept[IllegalArgumentException] {
+      SchemaSpec("p", fields, keyColumns = Seq("id"), only = Some(Seq("bogus_pack")))
+    }
+  }
+
+  test("V14 length counting units: bytes vs characters diverge on multibyte text") {
+    val spec = SchemaSpec("p", Seq(
+      Field.string("s").lenMax(4),
+      Field.binary("b").from("s2").lenMax(4)),
+      keyColumns = Seq("id"))
+    // "héllo" = 5 chars, 6 UTF-8 bytes
+    val df = Seq((1, "héllo", "héllo")).toDF("id", "s", "s2")
+    val r = Validator.validate(spec, df)
+    val got = r.violations.as[(Int, String, String)].collect().toSet
+    assert(got === Set(
+      (1, "s.max", "should be at most 4 character(s)"),
+      (1, "b.max", "should be at most 4 byte(s)")))
+  }
+
+  test("violation array order is pipeline order within a row") {
+    val spec = SchemaSpec("p", Seq(
+      Field.integer("x").req.gt(100)
+        .blockClauses(BlockClause.failWhen(ctx => ctx("x") < 10, "small"))
+        .when(ctx => ctx("x") > 50)),
+      keyColumns = Seq("id"))
+    val df = Seq((1, 5L)).toDF("id", "x")
+    val arr = Validator.validate(spec, df).annotated
+      .select($"violations.constraint_id").as[Seq[String]].collect().head
+    // block -> when -> validators (reference pack order, lib/flint.ex:13-23)
+    assert(arr === Seq("x.block.1", "x.when", "x.greater_than"))
+  }
+}

@@ -124,9 +124,10 @@ case class SubsetV(allowed: Seq[Any]) extends Validator {
   */
 case class LengthV(kind: String, n: Operand, unit: String = "characters") extends Validator {
   private def len(value: Column): Column = unit match {
-    case "bytes" => octet_length(value)
-    case "items" => size(value)
-    case _       => length(value)
+    case "bytes"     => octet_length(value)
+    case "items"     => size(value)
+    case "graphemes" => graft.functions.GraphemeLength(value) // V14 Ecto default, custom codegen Expression
+    case _           => length(value)
   }
   def pred(value: Column, ctx: Ctx): Column = {
     val c = n.column(ctx)
@@ -140,7 +141,7 @@ case class LengthV(kind: String, n: Operand, unit: String = "characters") extend
     val noun = unit match {
       case "items" => "item(s)"
       case "bytes" => "byte(s)"
-      case _       => "character(s)"
+      case _       => "character(s)" // graphemes included: Ecto's default :count wording
     }
     val mid = kind match {
       case "is"  => if (unit == "items") "should have " else "should be "
@@ -216,6 +217,11 @@ case class FieldSpec(
   def json(name: String = null, omitempty: Boolean = false, skip: Boolean = false): FieldSpec =
     copy(jsonName = Option(name), omitEmpty = omitempty, ignore = skip)
   def from(col: String): FieldSpec = copy(inputColumn = Some(col))
+  /** Ecto-exact :count => :graphemes for this field's length validators (V14). */
+  def graphemes: FieldSpec = copy(validators = validators.map {
+    case LengthV(k, n, _) => LengthV(k, n, "graphemes")
+    case v                => v
+  })
   private def v(x: Validator): FieldSpec = copy(validators = validators :+ x)
   private def lenUnit: String = ftype match {
     case FArray(_) => "items"

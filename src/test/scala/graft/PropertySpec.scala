@@ -108,4 +108,23 @@ class PropertySpec extends SparkSpec {
     // block -> when -> validators (reference pack order, lib/flint.ex:13-23)
     assert(arr === Seq("x.block.1", "x.when", "x.greater_than"))
   }
+
+  test("V14 graphemes: custom codegen Expression counts clusters, not codepoints") {
+    import graft.functions.GraphemeLength
+    // "e" + combining acute = 2 codepoints, 1 grapheme; emoji flag = 2 codepoints
+    val df = Seq((1, "e\u0301abc"), (2, "plain")).toDF("id", "s")
+    val rows = df.select($"id", length($"s"), GraphemeLength($"s")).as[(Int, Int, Int)].collect().toSet
+    assert(rows === Set((1, 5, 4), (2, 5, 5)))
+    // wired into LengthV via .graphemes: 4 graphemes passes lenMax(4), 5 codepoints would not
+    val spec = SchemaSpec("p", Seq(Field.string("s").lenMax(4).graphemes), keyColumns = Seq("id"))
+    val r = Validator.validate(spec, df)
+    assert(r.violations.as[(Int, String, String)].collect().toSet ===
+      Set((2, "s.max", "should be at most 4 character(s)")))
+    // stays inside whole-stage codegen (has doGenCode, not CodegenFallback)
+    val dir = java.nio.file.Files.createTempDirectory("g").toString
+    df.write.parquet(dir + "/t")
+    val plan = spark.read.parquet(dir + "/t").select(GraphemeLength($"s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")), plan)
+  }
 }

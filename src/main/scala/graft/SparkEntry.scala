@@ -306,6 +306,16 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
+    // ---- similarity: IVF coarse-quantizer ANN (scale path; rows-only) ----------------------------------------------------
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0)
+      Similarity.ivfTopKCosine(e, "vec_id", "embedding", q, 10, numCells = 16, nprobe = 6)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+    }),
+
     // ---- text analysis ------------------------------------------------------------------------------------------------------
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** N1 seam: the north_rule names an Iceberg source-code table, but this
+  * sandbox ships no Iceberg runtime jar (/opt/spark/jars inspected) — so the
+  * engine reads through this provider interface instead of a hard-coded
+  * format. `ParquetTableSource` + `CheckpointedRunner`'s manifest together
+  * play the Iceberg role (partitioned layout + manifest of completed
+  * partitions); an `IcebergTableSource` reading `spark.read.format("iceberg")
+  * .load(catalogTable)` drops in behind this trait without touching callers.
+  */
+trait TableSource {
+  def read(spark: SparkSession): DataFrame
+  def name: String
+}
+
+final case class ParquetTableSource(
+    path: String,
+    expectedSchema: Option[StructType] = None) extends TableSource {
+  def name: String = path
+  def read(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet(path)
+    expectedSchema.foreach { want =>
+      val got = df.schema
+      val missing = want.fields.filterNot(f => got.exists(g =>
+        g.name == f.name && g.dataType == f.dataType))
+      require(missing.isEmpty,
+        s"table $path missing/mistyped columns: ${missing.map(_.name).mkString(",")}")
+    }
+    df
+  }
+}
+
+/** Placeholder wiring for a real Iceberg catalog: constructor shape and the
+  * time-travel/pruning options a catalog reader would forward. Fails fast in
+  * this sandbox (no runtime jar) rather than silently misreading. */
+final case class IcebergTableSource(
+    catalogTable: String,
+    snapshotId: Option[Long] = None) extends TableSource {
+  def name: String = catalogTable
+  def read(spark: SparkSession): DataFrame = {
+    val reader = snapshotId.foldLeft(spark.read.format("iceberg")) {
+      (r, id) => r.option("snapshot-id", id.toString)
+    }
+    reader.load(catalogTable)
+  }
+}
+
+object TableSource {
+  /** The canonical input_hint shape. */
+  def codeTable(spark: SparkSession): StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType)))
+}

@@ -90,6 +90,75 @@ object Similarity {
       .select("rank", "id", "cosine")
   }
 
+  // ---------------------------------------------------------------------------
+  // IVF (inverted-file) index: k-means coarse quantizer + probe-limited search.
+  // The scale path for 10^9+ vectors: each query scans only `nprobe` cells
+  // instead of the corpus. Training is distributed (assignment is a codegen'd
+  // argmin over centroid literals; centroid update explodes to (cluster, dim)
+  // pairs and averages — k*dim rows collected to the driver, never vectors).
+  // Deterministic: centroids init from the k smallest ids, fixed iterations.
+  // ---------------------------------------------------------------------------
+
+  private def normalized(emb: Column): Column = {
+    val n = norm(emb)
+    transform(emb, x => x.cast(DoubleType) / n)
+  }
+
+  private def sqDist(a: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(a, array(centroid.map(lit): _*),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** argmin over centroid literals as (dist, idx) struct-min — codegen'd. */
+  private def nearestCentroid(a: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(a, c).as("d"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** Train the coarse quantizer: deterministic init (k smallest ids), `iters`
+    * Lloyd rounds on unit-normalized vectors. */
+  def ivfTrain(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    val v = df.select(col(idCol).as("id"), normalized(col(embCol)).as("u"))
+    var centroids: Seq[Seq[Double]] = v.orderBy("id").limit(k)
+      .select("u").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.select(nearestCentroid(col("u"), centroids).as("cl"), col("u"))
+      val sums = assigned
+        .select(col("cl"), posexplode(col("u")).as(Seq("dim", "x")))
+        .groupBy("cl", "dim").agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        val dim = old.size
+        val cand = (0 until dim).map(d => sums.getOrElse((i, d), old(d)))
+        val n = math.sqrt(cand.map(x => x * x).sum)
+        if (n > 0) cand.map(_ / n) else old // keep unit-norm (cosine geometry)
+      }
+    }
+    centroids
+  }
+
+  /** IVF-bucketed top-k cosine: assign corpus to cells once, then scan only the
+    * `nprobe` cells nearest to the query. */
+  def ivfTopKCosine(
+      df: DataFrame, idCol: String, embCol: String, query: Seq[Double], k: Int,
+      numCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = ivfTrain(df, idCol, embCol, numCells, iters)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qu = query.map(_ / qn)
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qu).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sorted.take(nprobe).map(_._2)
+    val indexed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(normalized(col(embCol)), centroids).as("cell"))
+    val q = array(qu.map(lit): _*)
+    indexed.filter(col("cell").isin(probeCells: _*))
+      .select(col("id"), cosine(col("emb"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
+      .select("rank", "id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Exact O(n^2) flavor
     * for verification; LSH-bucketed flavor for scale (pairs only form inside a
     * bucket — brute force within buckets of similar vectors). */

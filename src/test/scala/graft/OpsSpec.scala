@@ -147,4 +147,21 @@ class OpsSpec extends SparkSpec {
     assert(frames.length === 4)
     assert(frames.forall(_.getAs[Array[Byte]]("bytes").length <= 16))
   }
+
+  test("IVF ANN: probe-limited search achieves high recall; own cell contains query") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val exact = Similarity.topKCosine(embs, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopKCosine(embs, "vec_id", "embedding", q, 10,
+      numCells = 16, nprobe = 6)
+      .select("id").as[Long].collect().toSet
+    assert(ivf.contains(7L))
+    val recall = exact.count(ivf).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // determinism: same input, same parameters => same result
+    val again = Similarity.ivfTopKCosine(embs, "vec_id", "embedding", q, 10,
+      numCells = 16, nprobe = 6).select("id").as[Long].collect().toSet
+    assert(again === ivf)
+  }
 }

@@ -110,6 +110,30 @@ object SparkEntry {
       Validator.validate(spec, df).violations
     }),
 
+    // ---- C4 nested embeds: struct + array<struct> with required subfields -------------------
+    "q_embeds" -> ((s, dir) => {
+      val authorSchema = SchemaSpec("author", Seq(
+        Field.string("first_name").req,
+        Field.string("last_name").req,
+        Field.string("bio")))
+      val spec = SchemaSpec("doc",
+        fields = Seq(Field.string("lang")),
+        embeds = Seq(
+          EmbedSpec("author", authorSchema, required = true),
+          EmbedSpec("coauthors", authorSchema, many = true)),
+        keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents")
+        .withColumn("author", struct(
+          expr("nullif(source,'src3')").as("first_name"),
+          col("lang").as("last_name"),
+          col("text").as("bio")))
+        .withColumn("coauthors", array(
+          struct(lit("a").as("first_name"), col("lang").as("last_name"), lit(null).cast("string").as("bio")),
+          struct(when(col("doc_id") % 4 === 0, lit(null).cast("string")).otherwise(lit("b")).as("first_name"),
+            lit("x").as("last_name"), lit(null).cast("string").as("bio"))))
+      Validator.validate(spec, df).violations
+    }),
+
     // ---- V15 parameterized operand over a sibling field ------------------------------------
     "q_param_operand" -> ((s, dir) => {
       val spec = SchemaSpec("events", Seq(
@@ -416,6 +440,14 @@ object SparkEntry {
          FROM documents
          WHERE len(list_filter(string_split(text, ' '),
                    x -> x IN ('vector','stream'))) > 0""",
+
+    "q_embeds" ->
+      """SELECT doc_id, 'author.first_name.required' AS constraint_id,
+                'can''t be blank' AS reason
+         FROM documents WHERE source = 'src3'
+         UNION ALL
+         SELECT doc_id, 'coauthors[1].first_name.required', 'can''t be blank'
+         FROM documents WHERE doc_id % 4 = 0""",
 
     "q_param_operand" ->
       """SELECT event_id, 'value.greater_than' AS constraint_id,

@@ -71,7 +71,7 @@ object SchemaCompiler {
 
     // ---- stage 1+2: cast + default + required/cast violations -------------
     case class CastOut(value: Column, inChanges: Column, viols: Seq[Column])
-    val casted: Seq[(FieldSpec, CastOut)] = spec.fields.map { f =>
+    val casted: Seq[(FieldSpec, CastOut)] = spec.allFields.map { f =>
       val (raw, inTypeOpt) = resolve(f.input)
       if (f.virtual) {
         // C5: passthrough untouched, no rules

@@ -291,7 +291,14 @@ case class SchemaSpec(
     /** version-drift flag (SURVEY §1.3): derive even when field absent from input. */
     deriveAlways: Boolean = false,
     only: Option[Seq[String]] = None,
-    except: Option[Seq[String]] = None) {
+    except: Option[Seq[String]] = None,
+    /** M4: extension-template fields appended to the declared ones
+      * (reference: lib/extension.ex:207-229, lib/schema.ex:508-516). */
+    templateFields: Seq[FieldSpec] = Nil,
+    /** P7: schema-level attributes (Embedded extension: primary_key,
+      * schema_prefix, ... — reflectable metadata, no runtime behavior;
+      * reference: lib/flint/extensions/embedded.ex:24-27). */
+    attributes: Map[String, Any] = Map.empty) {
   require(fields.nonEmpty || embeds.nonEmpty, s"schema $name has no fields")
   require(only.isEmpty || except.isEmpty,
     "only one of `only` or `except` may be given") // reference: lib/flint.ex:9-10
@@ -299,6 +306,16 @@ case class SchemaSpec(
   require(unknownPack.isEmpty, s"unknown rule pack(s): ${unknownPack.mkString(",")}")
   private val dup = (fields.map(_.name) ++ embeds.map(_.name)).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
   require(dup.isEmpty, s"duplicate field(s) in $name: ${dup.mkString(",")}")
+
+  /** All fields incl. extension templates, in declaration order (M4). */
+  def allFields: Seq[FieldSpec] = fields ++ templateFields.filterNot(t => fields.exists(_.name == t.name))
+
+  // M5 reflections (reference: lib/schema.ex:563-567 __schema__/1)
+  def requiredFields: Seq[String] =
+    allFields.filter(_.required).map(_.name) ++ embeds.filter(_.required).map(_.name)
+  def blocks: Map[String, Seq[BlockClause]] =
+    allFields.filter(_.block.nonEmpty).map(f => f.name -> f.block).toMap
+  def extensions: Seq[String] = RulePacks.All.filter(packEnabled)
 
   def packEnabled(pack: String): Boolean = (only, except) match {
     case (Some(o), _) => o.contains(pack)

@@ -18,8 +18,9 @@ final case class ValidationResult(
 
   /** E2 `new/2`: coerced record values applied regardless of validity. */
   def coerced: DataFrame = {
-    val cols = spec.keyColumns.map(k => annotated(k)) ++
-      (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).map(n => annotated(n))
+    val cols = spec.keyColumns.filterNot(k => spec.allFields.exists(_.name == k))
+      .map(k => annotated(k)) ++
+      (spec.allFields.map(_.name) ++ spec.embeds.map(_.name)).map(n => annotated(n))
     annotated.select(cols: _*)
   }
 
@@ -72,14 +73,14 @@ object Validator {
   def validate(spec: SchemaSpec, df: DataFrame, bindings: Map[String, Any] = Map.empty): ValidationResult = {
     val violArr = SchemaCompiler.violationsArray(spec, df, bindings)
     val values = SchemaCompiler.coercedValues(spec, df, bindings)
-    val fieldNames = (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).toSet
+    val fieldNames = (spec.allFields.map(_.name) ++ spec.embeds.map(_.name)).toSet
     // a key column that is also a declared field is represented by its coerced
     // field column — avoids a duplicate (ambiguous) attribute in `annotated`
     val keyCols = spec.keyColumns.filterNot(fieldNames).map(k => df(k).as(k))
-    val valueCols = (spec.fields.map(_.name) ++ spec.embeds.map(_.name)).map(n => values(n).as(n))
+    val valueCols = (spec.allFields.map(_.name) ++ spec.embeds.map(_.name)).map(n => values(n).as(n))
     val passthrough = df.columns
       .filterNot(c => spec.keyColumns.contains(c))
-      .filterNot(c => spec.fields.exists(f => f.name == c || f.input == c))
+      .filterNot(c => spec.allFields.exists(f => f.name == c || f.input == c))
       .filterNot(c => spec.embeds.exists(e => e.name == c || e.input == c))
       .toSeq.map(c => df(c).as(c))
     val annotated = df.select(
@@ -94,8 +95,9 @@ object Validator {
     * (reference: lib/flint/extensions/json.ex:120-169).
     */
   def dump(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
-    val cols = spec.keyColumns.map(k => coerced(k)) ++
-      spec.fields.filterNot(f => f.ignore || f.virtual).map { f =>
+    val cols = spec.keyColumns.filterNot(k => spec.allFields.exists(_.name == k))
+      .map(k => coerced(k)) ++
+      spec.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
         f.ftype.dumpExpr(coerced(f.name)).as(f.jsonName.getOrElse(f.name))
       }
     coerced.select(cols: _*)
@@ -115,7 +117,7 @@ object Validator {
         case _ => concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
       }
     }
-    val frags: Seq[Column] = spec.fields.filterNot(f => f.ignore || f.virtual).map { f =>
+    val frags: Seq[Column] = spec.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
       val key = f.jsonName.getOrElse(f.name)
       val c = coerced(f.name)
       val kv = concat(lit("\"" + key + "\":"),

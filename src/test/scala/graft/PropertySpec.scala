@@ -127,4 +127,24 @@ class PropertySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")), plan)
   }
+
+  test("M4 template fields merge in; M5 reflections; P7 attributes") {
+    val template = Seq(Field.string("audit_tag").withDefault("none"))
+    val spec = SchemaSpec("p",
+      fields = Seq(Field.integer("x").req.blockClauses(
+        BlockClause.failWhen(ctx => ctx("x") < 0, "neg"))),
+      keyColumns = Seq("id"),
+      templateFields = template,
+      attributes = Map("primary_key" -> false, "schema_prefix" -> "graft"))
+    // reflections (reference __schema__/1)
+    assert(spec.requiredFields === Seq("x"))
+    assert(spec.blocks.keySet === Set("x"))
+    assert(spec.extensions === RulePacks.All)
+    assert(spec.attributes("schema_prefix") === "graft")
+    // template field participates in the pipeline (default applied)
+    val df = Seq((1, 5L)).toDF("id", "x")
+    val r = Validator.validate(spec, df)
+    assert(r.coerced.columns.toSeq === Seq("id", "x", "audit_tag"))
+    assert(r.coerced.select("audit_tag").as[String].collect().head === "none")
+  }
 }

@@ -70,7 +70,28 @@ object GoldenFixtures {
       "mystery" -> 3).req),
     keyColumns = Seq("case_id"))
 
+  /** feature_guide.livemd:66-196 Book / Book_b (required vs optional embeds). */
+  private val authorSchema = SchemaSpec("author", Seq(
+    Field.string("first_name").req,
+    Field.string("last_name").req,
+    Field.string("bio")))
+  val book: SchemaSpec = SchemaSpec("book",
+    fields = Seq(
+      Field.string("title").req,
+      Field.enum("genre", "biography" -> 0, "science_fiction" -> 1,
+        "fantasy" -> 2, "mystery" -> 3)),
+    embeds = Seq(
+      EmbedSpec("author", authorSchema, required = true),
+      EmbedSpec("coauthors", authorSchema, many = true)),
+    keyColumns = Seq("case_id"))
+  val bookB: SchemaSpec = book.copy(name = "book_b",
+    embeds = Seq(
+      EmbedSpec("author", authorSchema), // NOT required (Book_b)
+      EmbedSpec("coauthors", authorSchema, many = true)))
+
   val schemas: Map[String, SchemaSpec] = Map(
+    "book" -> book,
+    "book_b" -> bookB,
     "person" -> person,
     "character" -> character,
     "when_schema" -> whenSchema,
@@ -131,6 +152,32 @@ object GoldenFixtures {
     GoldenCase("notebook-derive-present", "derive_schema",
       """{"rating":"10","score":"1"}""",
       Map.empty, expectValid = true, Nil),
+
+    // feature_guide.livemd:66-196 — embeds required matrix
+    GoldenCase("notebook-book-valid", "book",
+      """{"title":"Harry Potter","author":{"first_name":"J.K.","last_name":"Rowling"},"genre":"fantasy"}""",
+      Map.empty, expectValid = true, Nil),
+    GoldenCase("notebook-book-missing-author", "book",
+      """{"title":"The old man and the sea"}""",
+      Map.empty, expectValid = false, Seq(
+        Expected("author.required", "can't be blank"))),
+    GoldenCase("notebook-book-partial-author", "book",
+      """{"title":"Harry Potter","author":{"first_name":"J.K."},"genre":"fantasy"}""",
+      Map.empty, expectValid = false, Seq(
+        Expected("author.last_name.required", "can't be blank"))),
+    // Book_b quirk: optional embed, partially initialized => nested required fires
+    GoldenCase("notebook-bookb-partial-author", "book_b",
+      """{"title":"Harry Potter","author":{"first_name":"J.K."},"genre":"fantasy"}""",
+      Map.empty, expectValid = false, Seq(
+        Expected("author.last_name.required", "can't be blank"))),
+    // ... whereas absent altogether passes (empty struct materialized)
+    GoldenCase("notebook-bookb-absent-author", "book_b",
+      """{"title":"Harry Potter","genre":"fantasy"}""",
+      Map.empty, expectValid = true, Nil),
+    GoldenCase("notebook-book-bad-coauthor", "book",
+      """{"title":"T","author":{"first_name":"A","last_name":"B"},"coauthors":[{"first_name":"C","last_name":"D"},{"first_name":"E"}]}""",
+      Map.empty, expectValid = false, Seq(
+        Expected("coauthors[1].last_name.required", "can't be blank"))),
 
     GoldenCase("readme-enum-key", "enum_schema",
       """{"genre":"biography"}""", Map.empty, expectValid = true, Nil),

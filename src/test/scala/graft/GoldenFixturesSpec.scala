@@ -25,7 +25,15 @@ class GoldenFixturesSpec extends SparkSpec {
       StructField("rating", StringType), StructField("score", StringType))),
     "derive_schema" -> StructType(Seq(
       StructField("rating", StringType), StructField("score", StringType))),
-    "enum_schema" -> StructType(Seq(StructField("genre", StringType))))
+    "enum_schema" -> StructType(Seq(StructField("genre", StringType))),
+    "book" -> bookParams, "book_b" -> bookParams)
+
+  private lazy val authorT = StructType(Seq(StructField("first_name", StringType), StructField("last_name", StringType), StructField("bio", StringType)))
+  private lazy val bookParams = StructType(Seq(
+    StructField("title", StringType),
+    StructField("author", authorT),
+    StructField("coauthors", ArrayType(authorT)),
+    StructField("genre", StringType)))
 
   private lazy val casesDf = {
     val df = cases.map(c => (

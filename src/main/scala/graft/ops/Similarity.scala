@@ -104,15 +104,19 @@ object Similarity {
     transform(emb, x => x.cast(DoubleType) / n)
   }
 
-  private def sqDist(a: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(a, array(centroid.map(lit): _*),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  private def sqDistTo(a: Column, centroid: Column): Column =
+    aggregate(zip_with(a, centroid, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
 
-  /** argmin over centroid literals as (dist, idx) struct-min — codegen'd. */
-  private def nearestCentroid(a: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(a, c).as("d"), lit(i).as("idx"))
-    }: _*)).getField("idx")
+  /** argmin over centroids as (dist, idx) struct-min. The centroid matrix is
+    * ONE nested-array literal (typedlit), not k x dim lit() nodes — per-dim
+    * literals made the Catalyst tree ~1000 nodes and planning dominated the
+    * small-input runtime. */
+  private def nearestCentroid(a: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cAll = typedlit(centroids)
+    array_min(zip_with(cAll, sequence(lit(0), lit(centroids.size - 1)),
+      (c, i) => struct(sqDistTo(a, c).as("d"), i.as("idx")))).getField("idx")
+  }
 
   /** Train the coarse quantizer: deterministic init (k smallest ids), `iters`
     * Lloyd rounds on unit-normalized vectors. */
@@ -147,8 +151,12 @@ object Similarity {
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(qu).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
       .sorted.take(nprobe).map(_._2)
-    val indexed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      nearestCentroid(normalized(col(embCol)), centroids).as("cell"))
+    // materialize the unit vector in its own projection first: nearestCentroid
+    // references it once per centroid, and HOF subtrees are neither CSE'd nor
+    // collapsed — inlining would recompute the norm k times per row
+    val indexed = df
+      .select(col(idCol).as("id"), col(embCol).as("emb"), normalized(col(embCol)).as("u"))
+      .select(col("id"), col("emb"), nearestCentroid(col("u"), centroids).as("cell"))
     val q = array(qu.map(lit): _*)
     indexed.filter(col("cell").isin(probeCells: _*))
       .select(col("id"), cosine(col("emb"), q).as("cosine"))

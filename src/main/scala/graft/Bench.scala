@@ -24,13 +24,20 @@ object Bench {
   /** O(n^2)-by-design verification baselines; not scale paths. */
   private val excluded = Set("q_dedup_ngram")
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int): SparkSession = sessionWithMaster(s"local[$cpus]", cpus)
+
+  private def sessionWithMaster(master: String, cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.executor.memory", "6g")
+      // multi-executor (local-cluster) launch plumbing: executors are separate
+      // JVMs spawned via the /opt/spark launcher
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.executorEnv.SPARK_HOME", "/opt/spark")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // enough input splits that local[32] can actually use 32 threads on a
@@ -46,25 +53,46 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** One full suite pass (single action per check; no caching between runs). */
-  private def runSuite(s: SparkSession, tableDir: String, dimDir: String): Long = {
+  /** One full operational suite pass, structured the way a 100 TB run is:
+    * the expensive row-rule pass runs ONCE and lands in the violation sink
+    * (N2); the per-partition summary (N3) derives from the sink joined with a
+    * cheap row-count scan — never a second full validation pass. */
+  private def runSuite(s: SparkSession, tableDir: String, dimDir: String, outDir: String): Long = {
     val df = s.read.parquet(tableDir)
     val dim = s.read.parquet(dimDir)
     val withFixture = df.withColumn("sha_fixture", col("content_sha256"))
     val r = Validator.validate(CodeTable.codeSchema, withFixture)
-    val nViol = r.violations.count()
-    val nSummary = r.partitionSummary.count()
+    // N2: the one heavy pass, written with the validation pass's partition id
+    r.annotated
+      .select(col("repo"), col("path"),
+        explode(col("violations")).as("v"), spark_partition_id().as("pid"))
+      .select(col("repo"), col("path"), col("v.constraint_id"), col("v.reason"), col("pid"))
+      .write.mode("overwrite").parquet(outDir)
+    val sink = s.read.parquet(outDir)
+    // N3: rows per partition is a column-pruned count-only scan (no rules);
+    // violation counts come from the (small) sink
+    val rowsPerPart = withFixture.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("rows"))
+    val violPerPart = sink.groupBy("pid").agg(
+      count(lit(1)).as("violations"),
+      count_distinct(col("repo"), col("path")).as("invalid_rows"))
+    val summary = rowsPerPart.join(violPerPart, Seq("pid"), "left")
+      .select(col("pid"), col("rows"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        coalesce(col("invalid_rows"), lit(0L)).as("invalid_rows"),
+        (col("rows") - coalesce(col("invalid_rows"), lit(0L))).as("valid_rows"))
+    val nSummary = summary.collect().length.toLong
     val nDup = graft.suite.Checks.uniqueness(df, Seq("repo", "path", "commit")).count()
     val nDangling = graft.suite.Checks.referentialViolations(
       df, Seq("repo", "commit"), dim, Seq("repo", "commit"),
       broadcastDim = true, keyCols = Seq("repo", "path")).count()
-    nViol + nSummary + nDup + nDangling
+    nSummary + nDup + nDangling
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
+    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "16000000").toLong
 
     // ---- part 1: query battery at the requested parallelism ----------------
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
@@ -92,19 +120,40 @@ object Bench {
     // Host CPU-steal makes single timings noisy (observed 27.9-54.6s swings on
     // an idle guest); interleave N and 4N measurements and take medians so
     // drift hits both configs equally.
-    def timedRun(n: Int): Double = {
-      val s = session(n)
-      runSuite(s, tableDir, dimDir) // warm-up (JIT + codegen + file listing)
-      val sec = time(runSuite(s, tableDir, dimDir))
+    // True north_rule shape: N vs 4N EXECUTORS — separate executor JVMs via
+    // local-cluster[n, coresPerExec, mem] when a Spark dist is present (it is,
+    // at /opt/spark); single-JVM local[n*cores] otherwise. One shared JVM
+    // showed ~0.7 ceiling from allocator/GC contention that real executors
+    // don't share; measured 0.92+ with separate JVMs on the same box.
+    val sparkDist = new java.io.File("/opt/spark/jars").isDirectory
+    // Worker resolves sparkHome from spark.test.home ONLY under
+    // Utils.isTesting, and WorkerCommandBuilder overwrites any executorEnv
+    // SPARK_HOME with it — this is exactly how Spark's own suites run
+    // local-cluster (no process env needed)
+    if (sparkDist && sys.env.get("SPARK_HOME").isEmpty) {
+      System.setProperty("spark.testing", "true")
+      System.setProperty("spark.test.home", "/opt/spark")
+    }
+    val coresPerExec = 8
+    def timedRun(nExec: Int): Double = {
+      val cores = nExec * coresPerExec
+      val s =
+        if (sparkDist) sessionWithMaster(s"local-cluster[$nExec,$coresPerExec,6144]", cores)
+        else session(cores)
+      // full-table warm-up: a small-table warm-up leaves the timed run ~60%
+      // slower at 4 executors (JIT depth + page/shuffle caches) — measured
+      runSuite(s, tableDir, dimDir, s"$root/viol_sink")
+      val sec = time(runSuite(s, tableDir, dimDir, s"$root/viol_sink"))
       s.stop()
       sec
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     // N vs 4N parallelism pair (sandbox proxy for N vs 4N executors). Default
     // N=4: 16 cores stay under this single-socket box's memory-bandwidth
     // ceiling, so the measurement reflects the engine's scaling, not the
     // machine's; the 8->32 pair is also measurable via SPARK_GRAFT_SCALE_N=8.
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    // N executors vs 4N executors (x8 cores each)
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val samples = (1 to reps).map(_ => (timedRun(scaleN), timedRun(4 * scaleN)))
     // min-of-reps: the hypervisor steals CPU in bursts (measured 2.6s..29.7s
     // for the identical job); min is the standard interference-robust estimator
@@ -117,11 +166,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sampleJson = samples.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     val suiteJson =
-      f"""{"rows":$totalRows,"n_cores":$scaleN,"sec_localN":$t8%.3f,"sec_local4N":$t32%.3f,""" +
+      f"""{"rows":$totalRows,"n_executors":$scaleN,"cores_per_executor":8,"sec_localN":$t8%.3f,"sec_local4N":$t32%.3f,""" +
         f""""rows_per_sec_localN":${r8.toLong},"rows_per_sec_local4N":${r32.toLong},""" +
-        f""""scaling_efficiency":$eff%.3f}"""
+        f""""scaling_efficiency":$eff%.3f,"samples_sec":$sampleJson}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}""")
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    } catch { case _: Throwable => }
   }
 }

@@ -50,8 +50,14 @@ object SchemaCompiler {
     }
   }
 
+  /** A scalar violation trigger: fires -> one (constraint_id, reason) entry.
+    * Kept unmaterialized so the hot path can OR all the fire conditions first
+    * and only build arrays for rows that actually violate something. */
+  case class Trigger(fire: Column, cid: Column, reason: Column)
+
   /** Core recursive compile over one record scope (top-level row or embedded
-    * struct). Returns final values for all fields + violation array columns.
+    * struct). Returns final values for all fields + scalar violation triggers
+    * + violation-array columns (blocks, embeds_many elements).
     *
     * @param prefix constraint-id prefix ("", "author.", dynamic for embeds_many)
     * @param parentValues parent-record fields visible as bindings in child rules
@@ -62,12 +68,12 @@ object SchemaCompiler {
       resolve: Resolver,
       bindings: Map[String, Any],
       prefix: Column,
-      parentValues: Map[String, Column]): (Map[String, Column], Seq[Column]) = {
+      parentValues: Map[String, Column]): (Map[String, Column], Seq[Trigger], Seq[Column]) = {
 
     val allBindings = bindings ++ parentValues
 
     // ---- stage 1+2: cast + default + required/cast violations -------------
-    case class CastOut(value: Column, inChanges: Column, viols: Seq[Column])
+    case class CastOut(value: Column, inChanges: Column, viols: Seq[Trigger])
     val casted: Seq[(FieldSpec, CastOut)] = spec.allFields.map { f =>
       val (raw, inTypeOpt) = resolve(f.input)
       if (f.virtual) {
@@ -89,19 +95,20 @@ object SchemaCompiler {
           case Some(d) => coalesce(castedVal, lit(d).cast(f.ftype.sparkType))
           case None    => castedVal
         }
-        val castViol = entryArr(
+        val castViol = Trigger(
           present && castedVal.isNull,
           concat(prefix, lit(s"${f.name}.cast")), lit("is invalid"))
         val reqViol =
-          if (!f.required) emptyViols
-          else entryArr(withDefault.isNull,
-            concat(prefix, lit(s"${f.name}.required")), lit("can't be blank"))
-        (f, CastOut(withDefault, inChanges, Seq(castViol, reqViol)))
+          if (!f.required) Nil
+          else Seq(Trigger(withDefault.isNull,
+            concat(prefix, lit(s"${f.name}.required")), lit("can't be blank")))
+        (f, CastOut(withDefault, inChanges, castViol +: reqViol))
       }
     }
 
     var values: Map[String, Column] = casted.map { case (f, c) => f.name -> c.value }.toMap
-    var viols: Seq[Column] = casted.flatMap(_._2.viols)
+    var triggers: Seq[Trigger] = casted.flatMap(_._2.viols)
+    var viols: Seq[Column] = Nil
 
     def ctx: Ctx = Ctx(values, allBindings)
 
@@ -141,7 +148,7 @@ object SchemaCompiler {
     // falsy OR eval-failure (null) => "Failed `:when` validation"
     // (reference: lib/flint/extensions/when.ex:42-83).
     for ((f, c) <- casted if spec.packEnabled(RulePacks.When); rule <- f.whenRule) {
-      viols = viols :+ entryArr(
+      triggers = triggers :+ Trigger(
         c.inChanges && !coalesce(rule(ctx), lit(false)),
         concat(prefix, lit(s"${f.name}.when")), lit("Failed `:when` validation"))
     }
@@ -150,7 +157,7 @@ object SchemaCompiler {
     // Ecto validators skip nil values; one violation row per failed validator.
     for ((f, c) <- casted if spec.packEnabled(RulePacks.EctoValidations); v <- f.validators) {
       val value = values(f.name)
-      viols = viols :+ entryArr(
+      triggers = triggers :+ Trigger(
         c.inChanges && value.isNotNull && !coalesce(v.pred(value, ctx), lit(false)),
         concat(prefix, lit(s"${f.name}.${v.kind}")), v.reason(value, ctx))
     }
@@ -171,7 +178,7 @@ object SchemaCompiler {
       tOpt match {
         case Some(st: StructType) if !e.many =>
           val childResolve = resolverForStruct(raw, st)
-          val (childValues, childViols) = compileScope(
+          val (childValues, childTriggers, childViols) = compileScope(
             e.schema, childResolve, bindings,
             concat(prefix, lit(s"${e.name}.")), values)
           val childStruct = struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*)
@@ -181,10 +188,10 @@ object SchemaCompiler {
             else coalesce(when(raw.isNotNull, childStruct),
               struct(e.schema.fields.map(f => lit(null).cast(f.ftype.sparkType).as(f.name)): _*))
           values = values + (e.name -> materialized)
-          val gated = childViols.map(v => when(raw.isNotNull, v).otherwise(emptyViols))
-          viols = viols ++ gated
+          triggers = triggers ++ childTriggers.map(t => t.copy(fire = raw.isNotNull && t.fire))
+          viols = viols ++ childViols.map(v => when(raw.isNotNull, v).otherwise(emptyViols))
           if (e.required)
-            viols = viols :+ entryArr(raw.isNull,
+            triggers = triggers :+ Trigger(raw.isNull,
               concat(prefix, lit(s"${e.name}.required")), lit("can't be blank"))
 
         case Some(ArrayType(st: StructType, _)) if e.many =>
@@ -194,11 +201,12 @@ object SchemaCompiler {
           val perElem = transform(raw, (x, i) => {
             val childResolve = resolverForStruct(x, st)
             val elemPrefix = concat(prefix, lit(s"${e.name}["), i.cast(StringType), lit("]."))
-            val (childValues, childViols) =
+            val (childValues, childTriggers, childViols) =
               compileScope(e.schema, childResolve, bindings, elemPrefix, parentVals)
+            val elemViols = childTriggers.map(t => entryArr(t.fire, t.cid, t.reason)) ++ childViols
             struct(
               struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*).as("value"),
-              (if (childViols.isEmpty) emptyViols else concat(childViols: _*)).as("viols"))
+              (if (elemViols.isEmpty) emptyViols else concat(elemViols: _*)).as("viols"))
           })
           val coercedArr = transform(perElem, x => x.getField("value"))
           // embeds_many always defaults to [] (reference: lib/schema.ex:21-22)
@@ -213,7 +221,7 @@ object SchemaCompiler {
         case _ =>
           // absent embed column
           if (e.required)
-            viols = viols :+ entryArr(lit(true),
+            triggers = triggers :+ Trigger(lit(true),
               concat(prefix, lit(s"${e.name}.required")), lit("can't be blank"))
           else if (!e.many)
             values = values + (e.name -> struct(
@@ -224,18 +232,31 @@ object SchemaCompiler {
       }
     }
 
-    (values, viols)
+    (values, triggers, viols)
   }
 
-  /** All violations of a row as one array<struct<constraint_id,reason>> column. */
+  /** All violations of a row as one array<struct<constraint_id,reason>> column.
+    *
+    * Hot-path shape: all scalar triggers are OR'd into one boolean first, and
+    * the per-trigger arrays are only built when some trigger fires — a valid
+    * row (the overwhelming majority at scale) allocates NOTHING beyond the
+    * shared empty-array constant. */
   def violationsArray(spec: SchemaSpec, df: DataFrame, extraBindings: Map[String, Any] = Map.empty): Column = {
-    val (_, viols) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
-    if (viols.isEmpty) emptyViols else concat(viols: _*)
+    val (_, triggers, viols) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
+    val scalarPart =
+      if (triggers.isEmpty) None
+      else {
+        val anyFire = triggers.map(t => coalesce(t.fire, lit(false))).reduce(_ || _)
+        Some(when(anyFire, concat(triggers.map(t => entryArr(t.fire, t.cid, t.reason)): _*))
+          .otherwise(emptyViols))
+      }
+    val parts = scalarPart.toSeq ++ viols
+    if (parts.isEmpty) emptyViols else if (parts.size == 1) parts.head else concat(parts: _*)
   }
 
   /** Coerced (cast+default+derive+map) values, keyed by field name. */
   def coercedValues(spec: SchemaSpec, df: DataFrame, extraBindings: Map[String, Any] = Map.empty): Map[String, Column] = {
-    val (values, _) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
+    val (values, _, _) = compileScope(spec, resolverFor(df), spec.bindings ++ extraBindings, lit(""), Map.empty)
     values
   }
 }

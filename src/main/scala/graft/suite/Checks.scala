@@ -47,10 +47,24 @@ object Checks {
   // Map-side partial counting makes this one shuffle of (key, partial-count),
   // not of full rows; AQE coalesces post-shuffle partitions.
   // --------------------------------------------------------------------------
-  def uniqueness(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*)
+  def uniqueness(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // Two-level exact check. A direct groupBy(keys) shuffles every wide key
+    // tuple (~100+ bytes of strings per row); instead shuffle ONE 8-byte
+    // xxhash64 per row to find candidate hashes, then confirm on the (tiny)
+    // candidate subset with an exact group — hash collisions can only ADD
+    // candidates, never hide a duplicate, so the result is exact. AQE turns
+    // the candidate join into a broadcast when the dup set is small.
+    val h = xxhash64(keys.map(col): _*)
+    val dupHashes = df.select(h.as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("__h")
+    df.withColumn("__h", h)
+      .join(dupHashes, "__h", "left_semi")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+  }
 
   /** Violation-row flavor: every row whose key tuple is duplicated, joined back
     * so the output carries the north_star (keys, constraint_id, reason) shape. */

@@ -76,10 +76,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
   }
 
-  test("uniqueness aggregates partially before the shuffle") {
+  test("uniqueness: first shuffle carries 8-byte hashes, exact confirm is semi-joined") {
     val p = plan(Checks.uniqueness(table, Seq("repo", "path", "commit")))
+    assert(p.contains("xxhash64"), p)        // candidate pass on the narrow hash
+    assert(p.contains("LeftSemi"), p)        // exact confirmation on candidates only
     assert(p.contains("partial_count") || p.contains("partial_"), p)
-    assert("Exchange".r.findAllIn(p).size === 1, p)
   }
 
   test("grouped summary keeps one shuffle; violations explode adds none") {

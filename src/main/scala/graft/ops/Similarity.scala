@@ -99,29 +99,29 @@ object Similarity {
   // Deterministic: centroids init from the k smallest ids, fixed iterations.
   // ---------------------------------------------------------------------------
 
-  private def normalized(emb: Column): Column = {
-    val n = norm(emb)
-    transform(emb, x => x.cast(DoubleType) / n)
-  }
+  /** Unit-normalize as a two-projection shape: the norm (an aggregate) must be
+    * an alias in its OWN projection — embedding it inside the per-element
+    * transform lambda re-evaluates the whole 64-op aggregate per element
+    * (measured ~5 ms/row: 64 elems x 16 centroids x 64-op norm). */
+  private def withUnit(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"), norm(col(embCol)).as("__n"))
+      .select(col("id"), col("emb"),
+        transform(col("emb"), x => x.cast(DoubleType) / col("__n")).as("u"))
 
-  private def sqDistTo(a: Column, centroid: Column): Column =
-    aggregate(zip_with(a, centroid, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** argmin over centroids as (dist, idx) struct-min. The centroid matrix is
-    * ONE nested-array literal (typedlit), not k x dim lit() nodes — per-dim
-    * literals made the Catalyst tree ~1000 nodes and planning dominated the
-    * small-input runtime. */
-  private def nearestCentroid(a: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** Cell assignment = argmax of raw dot(emb, centroid): centroids are kept
+    * unit-norm, and cosine order is invariant to the row's own norm — so no
+    * per-row normalization is needed at assignment time at all. ONE nested
+    * literal for the centroid matrix keeps the Catalyst tree tiny. */
+  private def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val cAll = typedlit(centroids)
-    array_min(zip_with(cAll, sequence(lit(0), lit(centroids.size - 1)),
-      (c, i) => struct(sqDistTo(a, c).as("d"), i.as("idx")))).getField("idx")
+    array_max(zip_with(cAll, sequence(lit(0), lit(centroids.size - 1)),
+      (c, i) => struct(dot(emb, c).as("d"), i.as("idx")))).getField("idx")
   }
 
   /** Train the coarse quantizer: deterministic init (k smallest ids), `iters`
     * Lloyd rounds on unit-normalized vectors. */
   def ivfTrain(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    val v = df.select(col(idCol).as("id"), normalized(col(embCol)).as("u"))
+    val v = withUnit(df, idCol, embCol)
     var centroids: Seq[Seq[Double]] = v.orderBy("id").limit(k)
       .select("u").collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iters) {
@@ -151,12 +151,9 @@ object Similarity {
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(qu).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
       .sorted.take(nprobe).map(_._2)
-    // materialize the unit vector in its own projection first: nearestCentroid
-    // references it once per centroid, and HOF subtrees are neither CSE'd nor
-    // collapsed — inlining would recompute the norm k times per row
-    val indexed = df
-      .select(col(idCol).as("id"), col(embCol).as("emb"), normalized(col(embCol)).as("u"))
-      .select(col("id"), col("emb"), nearestCentroid(col("u"), centroids).as("cell"))
+    // assignment works on the raw embedding (argmax dot vs unit centroids)
+    val indexed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(col(embCol).cast("array<double>"), centroids).as("cell"))
     val q = array(qu.map(lit): _*)
     indexed.filter(col("cell").isin(probeCells: _*))
       .select(col("id"), cosine(col("emb"), q).as("cosine"))

@@ -65,6 +65,50 @@ object Multimodal {
     df.select(col(idCol), array(idxs: _*).as("frames"))
   }
 
+  /** One decoded media record produced by the batched decode stage. */
+  case class DecodedMedia(
+      id: Long, byte_size: Long, width: Int, height: Int, features: Array[Double])
+
+  /** Batched decode plumbing — the Scala analog of a Pandas-UDF/mapInPandas
+    * stage: one partition is processed as a stream of fixed-size BATCHES so a
+    * real codec/model can amortize per-call setup (native handles, model
+    * weights) across `batchSize` records, exactly like an Arrow batch. The
+    * decode itself is a DETERMINISTIC FAKE (no codec libs in this container) —
+    * swap `decodeOne`; the partitioning, batch shape, and Encoder plumbing are
+    * real and tested.
+    */
+  def decodeBatched(
+      df: DataFrame, idCol: String, mediaCol: String, featureDim: Int,
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[DecodedMedia]
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(mediaCol))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would happen here (codec init / model session)
+          batch.map { case (id, bytes) => decodeOne(id, bytes, featureDim) }
+        }
+      }
+  }
+
+  /** FAKE single-record decode used by [[decodeBatched]] — deterministic
+    * function of the payload bytes. */
+  private def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): DecodedMedia = {
+    val size = bytes.length.toLong
+    val features = Array.tabulate(featureDim) { i =>
+      // cheap deterministic byte-window hash in [-1, 1]
+      var h = 1125899906842597L + i
+      var j = i % math.max(bytes.length, 1)
+      val end = math.min(j + 16, bytes.length)
+      while (j < end) { h = 31 * h + bytes(j); j += 1 }
+      ((h % 2000001L).toDouble / 2000000.0)
+    }
+    DecodedMedia(id, size, ((size * 37) % 1920 + 16).toInt, ((size * 91) % 1080 + 16).toInt, features)
+  }
+
   /** Resize plumbing (FAKE): deterministic downsample marker — keeps byte_size
     * bookkeeping exact so partition sizing logic is testable. */
   def fakeResize(meta: Column, maxW: Int, maxH: Int): Column = {

@@ -164,4 +164,24 @@ class OpsSpec extends SparkSpec {
       numCells = 16, nprobe = 6).select("id").as[Long].collect().toSet
     assert(again === ivf)
   }
+
+  test("multimodal batched decode: mapPartitions batch shape, deterministic output") {
+    val media = Multimodal.ingest(docs, "doc_id", $"text", "image/fake")
+    val decoded = Multimodal.decodeBatched(media, "doc_id", "media", featureDim = 8, batchSize = 32)
+    val rows = decoded.collect()
+    assert(rows.length === nDocs)
+    val byId = rows.map(r => r.id -> r).toMap
+    val chars = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    // byte_size == n_chars (ASCII) and dims follow the deterministic fake
+    byId.foreach { case (id, d) =>
+      assert(d.byte_size === chars(id))
+      assert(d.width === ((d.byte_size * 37) % 1920 + 16).toInt)
+      assert(d.features.length === 8)
+      assert(d.features.forall(f => f >= -1.0 && f <= 1.0))
+    }
+    // deterministic across runs
+    val again = Multimodal.decodeBatched(media, "doc_id", "media", 8, 32).collect()
+      .map(r => r.id -> r.features.toSeq).toMap
+    assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
+  }
 }

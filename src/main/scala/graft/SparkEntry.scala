@@ -296,9 +296,9 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.jaccardPairsBruteForce(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
 
-    // ---- dedup: SimHash (no SQL oracle — xxhash64 signatures; rows-only check) -------------------------------------------
+    // ---- dedup: SimHash (md5-derived 120-bit signature => the DuckDB oracle recomputes it bit-for-bit) -------------------
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = SimhashMaxHamming)),
 
     // ---- dedup: embedding cosine near-dup (LSH-bucketed scale path) -------------------------------------------------------
     "q_embed_neardup" -> ((s, dir) => {
@@ -320,7 +320,7 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
-    // ---- similarity: LSH-bucketed ANN (scale path; recall checked in tests, rows-only here) --------------------------------
+    // ---- similarity: LSH-bucketed ANN (planes are seed-deterministic, so the oracle recomputes the exact candidate set) ----
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 7)
@@ -330,13 +330,17 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
-    // ---- similarity: IVF coarse-quantizer ANN (scale path; rows-only) ----------------------------------------------------
+    // ---- similarity: IVF coarse-quantizer ANN. Quantizer here is the deterministic
+    // init (unit embeddings of the 16 smallest ids, iters=0) so DuckDB can rebuild the
+    // exact cells; the trained path (driver k-means on a sample + persisted index) is
+    // ivfBuildIndex, recall-tested in OpsSpec — training never runs inside a query. ----
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 7)
         .select(col("embedding").cast("array<double>")).collect()
         .head.getSeq[Double](0)
-      Similarity.ivfTopKCosine(e, "vec_id", "embedding", q, 10, numCells = 16, nprobe = 6)
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0, sampleSize = 16)
+      Similarity.ivfTopKCosine(e, "vec_id", "embedding", centroids, q, 10, nprobe = 6)
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
@@ -558,6 +562,25 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_dedup_ngram" -> jaccardOracle(0.8),
 
+    // SimHash recomputed bit-for-bit: md5 per token, two 60-bit words from hex
+    // chars 1-15/16-30, +-1 votes per bit, sign fold. The banding in the engine
+    // is lossless for hamming <= maxHamming (pigeonhole), so brute-force pairs
+    // here are EXACTLY the engine's output.
+    "q_dedup_simhash" -> s"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+        FROM documents),
+      dg AS (SELECT doc_id, list_transform(ts, t -> md5(t)) AS ms FROM tok),
+      hw AS (SELECT doc_id,
+               list_transform(ms, m -> ${hexParseSql("substring(m, 1, 15)")}) AS h0,
+               list_transform(ms, m -> ${hexParseSql("substring(m, 16, 15)")}) AS h1
+             FROM dg),
+      sg AS (SELECT doc_id, ${simhashWordSql("h0")} AS s0, ${simhashWordSql("h1")} AS s1 FROM hw)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS BIGINT) AS hamming
+      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= $SimhashMaxHamming""",
+
     "q_embed_neardup" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
@@ -575,6 +598,49 @@ object SparkEntry {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
                 vec_id AS id
          FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    // LSH ANN: hyperplanes are a pure function of (numPlanes, dim, seed), so the
+    // exact plane values are interpolated below and the candidate set ("signature
+    // within probeHamming sign flips of the query's") is recomputed verbatim.
+    "q_ann_lsh" -> s"""
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sg AS (SELECT vec_id, e, $lshSigTermsSql AS sig FROM ev),
+      q AS (SELECT e AS qv, sig AS qsig FROM sg WHERE vec_id = 7),
+      cand AS (SELECT sg.vec_id, sg.e FROM sg, q
+               WHERE bit_count(xor(sg.sig, q.qsig)) <= $LshProbeHamming),
+      scored AS (SELECT vec_id,
+                        list_cosine_similarity(e, (SELECT qv FROM q)) AS sim
+                 FROM cand)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+             vec_id AS id
+      FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    // IVF ANN with the deterministic quantizer init: centroids = unit-normalized
+    // embeddings of the 16 smallest vec_ids; assignment = argmax dot (ties ->
+    // larger cell, matching the engine's struct-max); probe = top-6 cells by
+    // dot(centroid, unit query) (ties -> smaller cell).
+    "q_ann_ivf" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+                      list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
+               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 16)),
+      q AS (SELECT e AS qv FROM ev WHERE vec_id = 7),
+      qu AS (SELECT list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS u FROM q),
+      probe AS (SELECT cell FROM cent, qu
+                ORDER BY list_dot_product(cent.cu, qu.u) DESC, cell ASC LIMIT 6),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT ev.vec_id, cent.cell,
+                          row_number() OVER (PARTITION BY ev.vec_id
+                            ORDER BY list_dot_product(ev.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM ev CROSS JOIN cent) WHERE rn = 1),
+      cand AS (SELECT ev.vec_id, ev.e FROM ev JOIN assign USING (vec_id)
+               WHERE assign.cell IN (SELECT cell FROM probe)),
+      scored AS (SELECT vec_id,
+                        list_cosine_similarity(e, (SELECT qv FROM q)) AS sim
+                 FROM cand)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+             vec_id AS id
+      FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
 
     "q_text_langid" ->
       """SELECT doc_id,
@@ -627,6 +693,43 @@ object SparkEntry {
                 (CAST(octet_length(encode(text)) AS BIGINT) * 91) % 1080 + 16 AS height
          FROM documents"""
   )
+
+  /** maxHamming for the simhash entry query, over 120-bit signatures. Measured
+    * on the synthetic corpus: planted near-dup pairs land at hamming <= 5;
+    * background pairs (31-word shared vocab) explode above ~10 (14k+ pairs at
+    * 11-15 at sf0.1). 5 keeps output = true near-dups + a thin natural band,
+    * and bands = 6 => 20-bit chunks => tiny LSH buckets. */
+  val SimhashMaxHamming = 5
+
+  /** probeHamming used by both the q_ann_lsh query and its oracle. */
+  val LshProbeHamming = 3
+
+  /** Parse a 15-char lowercase-hex SQL expression to a 60-bit BIGINT in DuckDB
+    * (no conv() there): fold digits via list_reduce with a prepended 0 seed. */
+  private def hexParseSql(hexExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($hexExpr, ''),
+            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+          (a, x) -> a * 16 + x)"""
+
+  /** One 60-bit simhash word from a column of per-token 60-bit hashes:
+    * per-bit +-1 votes, then sign fold — mirrors Dedup.simhash exactly. */
+  private def simhashWordSql(hashListCol: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN list_sum(list_transform($hashListCol,
+                 x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT)"""
+
+  /** The q_ann_lsh signature expression: same seed-deterministic hyperplanes as
+    * Similarity.hyperplanes(10, 64, 42), values interpolated as SQL literals
+    * (Double.toString round-trips exactly). */
+  private def lshSigTermsSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(numPlanes = 10, dim = 64, seed = 42L)
+    planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(e, $arr) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
 
   /** Exact pairwise n-gram(3) Jaccard in DuckDB: shingle lists via list
     * comprehension, intersection/union via list ops. Matches the engine's

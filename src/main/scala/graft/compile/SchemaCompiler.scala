@@ -95,12 +95,16 @@ object SchemaCompiler {
           case Some(d) => coalesce(castedVal, lit(d).cast(f.ftype.sparkType))
           case None    => castedVal
         }
+        val castFailed = present && castedVal.isNull
         val castViol = Trigger(
-          present && castedVal.isNull,
+          castFailed,
           concat(prefix, lit(s"${f.name}.cast")), lit("is invalid"))
+        // Ecto's validate_required skips fields that already carry an error
+        // (is_nil(errors[field]) guard), so a failed cast yields ONLY
+        // "is invalid" — never both (reference: lib/changeset.ex:45).
         val reqViol =
           if (!f.required) Nil
-          else Seq(Trigger(withDefault.isNull,
+          else Seq(Trigger(withDefault.isNull && !castFailed,
             concat(prefix, lit(s"${f.name}.required")), lit("can't be blank")))
         (f, CastOut(withDefault, inChanges, castViol +: reqViol))
       }

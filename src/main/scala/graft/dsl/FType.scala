@@ -84,7 +84,10 @@ case object FDecimal extends FType {
   val name = "decimal"
   val sparkType: DataType = DecimalType(38, 18)
   def castExpr(c: Column, in: DataType): Column = in match {
-    case dt if FType.isNumeric(dt) => c.cast(sparkType)
+    // try_cast on the numeric branch too: ANSI mode (Spark 4 default) makes a
+    // plain cast THROW on decimal(38,18) overflow (e.g. a double >= 1e20),
+    // crashing the job — the contract is bad input => violation row, not failure
+    case dt if FType.isNumeric(dt) => c.try_cast(sparkType)
     case _: StringType             => c.try_cast(sparkType)
     case _                         => nullOf
   }
@@ -175,10 +178,16 @@ case class FEnum(mapping: Seq[(String, Any)]) extends FType {
   require(mapping.nonEmpty, "enum mapping must be non-empty")
   val name = "enum"
   val sparkType: DataType = StringType
-  private def keyByAny: Column =
-    map(mapping.flatMap { case (k, v) =>
-      Seq(lit(k), lit(k), lit(v).cast(StringType), lit(k))
-    }: _*)
+  /** key-or-dumped-value -> key lookup, deduped on the driver: a dumped value
+    * that stringifies to an existing key (e.g. ("1" -> 1)) would otherwise be a
+    * duplicate map key, and spark.sql.mapKeyDedupPolicy=EXCEPTION throws at
+    * runtime. Keys win over values (cast prefers the embedded key). */
+  private def keyByAny: Column = {
+    val entries = scala.collection.mutable.LinkedHashMap[String, String]()
+    mapping.foreach { case (k, _) => entries.getOrElseUpdate(k, k) }
+    mapping.foreach { case (k, v) => entries.getOrElseUpdate(v.toString, k) }
+    map(entries.toSeq.flatMap { case (from, to) => Seq(lit(from), lit(to)) }: _*)
+  }
   def castExpr(c: Column, in: DataType): Column =
     try_element_at(keyByAny, c.cast(StringType))
   override def dumpExpr(c: Column): Column =

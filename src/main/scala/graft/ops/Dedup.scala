@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
   *  - MinHash+LSH: per-doc signatures are narrow (one pass, codegen'd HOFs);
   *    candidate generation shuffles (band_idx, band_hash) pairs only; exact
   *    Jaccard verification touches just the candidate pairs.
-  *  - SimHash: 64-bit signature; banding on 16-bit chunks (pigeonhole: hamming
-  *    <= 3 guarantees >= 1 equal chunk of 4), verify with bit_count(xor).
+  *  - SimHash: 120-bit signature (one md5 per token); banding on maxHamming+1
+  *    disjoint chunks (pigeonhole => recall 1.0), verify with bit_count(xor).
   * All candidate joins group by (band, hash) — skewed buckets (boilerplate
   * shingles) are capped by `maxBucket` with an explicit drop count available,
   * never a silent OOM.
@@ -44,37 +44,15 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------------
 
-  private val MersennePrime31 = 2147483647L // 2^31-1; a*h stays < 2^62 (no overflow)
-
-  /** Deterministic (a, b) coefficients for k permutation hashes. */
-  private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
-    // splitmix64-style LCG on the driver — deterministic, no RNG object state
-    var s = seed
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) }
-    Seq.fill(k)((next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
-  }
-
-  /** MinHash signature (k longs) over word n-gram shingles.
-    *
-    * ONE traversal of the shingle array: a single `aggregate` folds every
-    * shingle hash into all k running minima at once (acc[j] = min(acc[j],
-    * (a_j*h+b_j) mod p)). The naive shape — k separate
-    * `array_min(transform(...))` columns — re-evaluates the shingle pipeline
-    * k times per row (HOFs don't share subexpressions) and measured ~40x
-    * slower at sf0.1. */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int, seed: Long = 42L): Column = {
-    val hs = transform(TextOps.shingles(text, shingleN), s => pmod(xxhash64(s), lit(MersennePrime31)))
-    val cs = coeffs(numHashes, seed)
-    val aArr = array(cs.map(c => lit(c._1)): _*)
-    val bArr = array(cs.map(c => lit(c._2)): _*)
-    aggregate(
-      hs,
-      array_repeat(lit(MersennePrime31), numHashes),
-      (acc, h) => zip_with(
-        acc,
-        zip_with(aArr, bArr, (a, b) => pmod(a * h + b, lit(MersennePrime31))),
-        (x, y) => least(x, y)))
-  }
+  /** MinHash signature (k longs) over word n-gram shingles: a native codegen
+    * Expression (graft.functions.MinHashSig) — tokenize, slide the n-gram
+    * window, hash each shingle ONCE, fold all k permutation minima, in one
+    * JITed pass inside whole-stage codegen. (History: the k-column
+    * `array_min(transform(...))` shape re-evaluated the shingle pipeline k
+    * times and measured ~40x slower; the round-1 single `aggregate` fold fixed
+    * that but stayed CodegenFallback-interpreted — #2 bench line.) */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.MinHashSig(text, shingleN, numHashes, seed)
 
   /** LSH banding: (id, band_idx, band_hash) — `bands` bands of `rows` sig rows. */
   def lshBands(df: DataFrame, idCol: String, sigCol: Column, bands: Int, rows: Int): DataFrame = {
@@ -86,9 +64,19 @@ object Dedup {
       .select(col("id"), col("b.band_idx"), col("b.band_hash"))
   }
 
+  /** Oversize LSH buckets that [[candidatePairs]] excludes at the same
+    * `maxBucket` cap: (band_idx, band_hash, bucket_size). No-silent-caps
+    * companion — run it alongside candidatePairs to audit what was dropped
+    * (shares the same banded aggregate shape, so it's one extra cheap pass). */
+  def oversizeBuckets(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
   /** Candidate pairs (id_a < id_b) from shared LSH buckets. `maxBucket` caps
-    * pathological buckets (boilerplate); dropped buckets are counted, not
-    * silently ignored — read `_dropped_buckets` from the returned pair. */
+    * pathological buckets (boilerplate); those buckets are EXCLUDED here —
+    * audit them with [[oversizeBuckets]] (same cap) rather than assuming
+    * full coverage. */
   def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
     bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -145,38 +133,80 @@ object Dedup {
   // SimHash
   // --------------------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per-bit +-1 votes accumulated via
-    * one aggregate over the token array (single pass, no UDF). */
-  def simhash(text: Column): Column = {
-    val ts = TextOps.tokens(text)
-    val bitsOf: Column => Column = t =>
-      transform(sequence(lit(0), lit(63)),
-        i => when(call_function("shiftright", xxhash64(t), i) % 2 =!= 0, 1L).otherwise(-1L))
-    val votes = aggregate(ts, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitsOf(t), (a, b) => a + b))
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  /** Signature width: 120 bits as two 60-bit words, both derived from ONE md5
+    * per token (hex chars 1-15 and 16-30 parsed base-16). md5 (not xxhash64) so
+    * any engine can reproduce the signature bit-for-bit — the DuckDB oracle does.
+    * 60-bit words keep every value positive (no sign-bit shifts). */
+  val SimhashWords: Int = graft.functions.SimHashSig.Words
+  val SimhashBitsPerWord: Int = graft.functions.SimHashSig.BitsPerWord
+  val SimhashBits: Int = graft.functions.SimHashSig.Bits
+
+  /** 120-bit SimHash over whitespace tokens as array<long> of two 60-bit
+    * words — a native codegen Expression (graft.functions.SimHashSig): one md5
+    * per token, all 120 vote counters updated in one JITed loop. (The round-1
+    * Column pipeline hashed every token 64x inside a per-bit HOF lambda; a
+    * hash-once aggregate fold was still ~1.8 ms/row interpreted.) */
+  def simhash(text: Column): Column = graft.functions.SimHashSig(text)
+
+  /** Hamming distance between two multi-word signatures (array<long>). */
+  def hammingDistance(a: Column, b: Column): Column =
+    (1 to SimhashWords).map(w =>
+      bit_count(element_at(a, w).bitwiseXOR(element_at(b, w))).cast(LongType))
+      .reduce(_ + _)
+
+  /** Disjoint band chunks covering all signature bits: (word, offset, width).
+    * Pigeonhole: `maxHamming+1` disjoint covering chunks guarantee that any
+    * pair within `maxHamming` differing bits shares at least one untouched
+    * chunk — recall 1.0 by construction, for ANY maxHamming (the round-1
+    * 4x16-bit banding only guaranteed hamming <= 3 but was called with 8).
+    * Scale note: chunk width = bits/(maxHamming+1); size the signature so
+    * width >~ log2(corpus size) or buckets grow — 120 bits handles
+    * maxHamming=8 at ~10^4 docs/bucket-value; use a wider hash for 10^9. */
+  private[ops] def simhashChunks(maxHamming: Int): Seq[(Int, Int, Int)] = {
+    val bands = math.max(maxHamming + 1, SimhashWords)
+    // distribute bands over words as evenly as possible, each word >= 1 band
+    val perWord = Array.fill(SimhashWords)(bands / SimhashWords)
+    (0 until bands % SimhashWords).foreach(perWord(_) += 1)
+    (0 until SimhashWords).flatMap { w =>
+      val n = perWord(w)
+      val base = SimhashBitsPerWord / n
+      val rem = SimhashBitsPerWord % n
+      val widths = (0 until n).map(i => base + (if (i < rem) 1 else 0))
+      widths.scanLeft(0)(_ + _).zip(widths).map { case (off, width) => (w, off, width) }
+    }
   }
 
-  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
-
-  /** SimHash near-dups: band the 64-bit signature into 4 16-bit chunks
-    * (hamming <= 3 implies one equal chunk), bucket-join, verify hamming. */
+  /** SimHash near-dups with guaranteed recall: band into maxHamming+1 disjoint
+    * chunks (pigeonhole), bucket-join, verify exact hamming. Output is exactly
+    * { (a,b) : hamming(sig_a, sig_b) <= maxHamming } — brute-force-equivalent,
+    * at banded-join cost. */
   def simhashNearDups(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    // The signature travels WITH the banding rows (16 bytes/row): it is
+    // computed exactly once per doc and verified straight off the bucket —
+    // joining a sigs DataFrame back would re-run the whole md5+vote pipeline
+    // per join side (DataFrame reuse re-executes the plan).
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("band_idx"),
-        (shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xFFFFL))).as("band_hash")))
-    val bands = sigs.select(col("id"), explode(array(chunks: _*)).as("b"))
-      .select(col("id"), col("b.band_idx"), col("b.band_hash"))
-    val pairs = candidatePairs(bands)
-    val a = sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
-    val b = sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+    val chunks = simhashChunks(maxHamming).zipWithIndex.map { case ((w, off, width), bi) =>
+      val word = element_at(col("sig"), w + 1)
+      struct(lit(bi).as("band_idx"),
+        shiftright(word, off).bitwiseAND(lit((1L << width) - 1)).as("band_hash"))
+    }
+    val bands = sigs.select(col("id"), col("sig"), explode(array(chunks: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band_idx"), col("b.band_hash"))
+    bands.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i+2, size(xs)),
+             y -> struct(x.id AS id_a, x.sig AS sig_a, y.id AS id_b, y.sig AS sig_b))))"""))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        hammingDistance(col("p.sig_a"), col("p.sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 }

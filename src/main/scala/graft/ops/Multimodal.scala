@@ -114,11 +114,13 @@ object Multimodal {
   def fakeResize(meta: Column, maxW: Int, maxH: Int): Column = {
     val w = meta.getField("width"); val h = meta.getField("height")
     val scaleNum = least(lit(maxW) * 1000 / greatest(w, lit(1)), lit(maxH) * 1000 / greatest(h, lit(1)), lit(1000))
+    // floor+cast back to LongType: Column `/` is DOUBLE division, and a double
+    // byte_size would break schema equality with mediaMetaType / ingest structs
     struct(
       meta.getField("media_type").as("media_type"),
-      (meta.getField("byte_size") * scaleNum * scaleNum / 1000000L).as("byte_size"),
-      (w * scaleNum / 1000).cast(IntegerType).as("width"),
-      (h * scaleNum / 1000).cast(IntegerType).as("height"),
+      floor(meta.getField("byte_size") * scaleNum * scaleNum / 1000000L).cast(LongType).as("byte_size"),
+      floor(w * scaleNum / 1000).cast(IntegerType).as("width"),
+      floor(h * scaleNum / 1000).cast(IntegerType).as("height"),
       meta.getField("duration_ms").as("duration_ms"))
   }
 }

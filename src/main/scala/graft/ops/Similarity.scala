@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,17 +24,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank the (already tiny, <= k rows) result of an orderBy/limit without a
+    * single-partition Window: the k rows are coalesced and sorted once, and
+    * rank = position. Keeps 100x-scale hygiene — nothing row-count-dependent
+    * ever passes through a global window. */
+  private def rankTopK(topK: DataFrame): DataFrame =
+    topK.coalesce(1)
+      .sortWithinPartitions(col("cosine").desc, col("id").asc)
+      .withColumn("rank", monotonically_increasing_id() + 1L)
+      .select("rank", "id", "cosine")
+
   /** Brute-force top-k cosine neighbors of a literal query vector.
     * The filter/projection is codegen'd; `orderBy().limit(k)` becomes
     * TakeOrderedAndProject — each partition keeps only k rows. */
   def topKCosine(df: DataFrame, idCol: String, embCol: String, query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    df.select(col(idCol).as("id"), cosine(col(embCol), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select("rank", "id", "cosine")
+    rankTopK(
+      df.select(col(idCol).as("id"), cosine(col(embCol), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k))
   }
 
   /** Deterministic random hyperplanes (seeded LCG on the driver). */
@@ -82,87 +90,140 @@ object Similarity {
     }
     val candidates = indexed.filter(col("sig").isin(sigsWithin(probeHamming): _*))
     val q = array(query.map(lit): _*)
-    candidates.select(col("id"), cosine(col("emb"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select("rank", "id", "cosine")
+    rankTopK(
+      candidates.select(col("id"), cosine(col("emb"), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k))
   }
 
   // ---------------------------------------------------------------------------
-  // IVF (inverted-file) index: k-means coarse quantizer + probe-limited search.
-  // The scale path for 10^9+ vectors: each query scans only `nprobe` cells
-  // instead of the corpus. Training is distributed (assignment is a codegen'd
-  // argmin over centroid literals; centroid update explodes to (cluster, dim)
-  // pairs and averages — k*dim rows collected to the driver, never vectors).
-  // Deterministic: centroids init from the k smallest ids, fixed iterations.
+  // IVF (inverted-file) index: coarse quantizer + probe-limited search.
+  //
+  // Train/query split (the round-1 design flaw was training INSIDE the query —
+  // 3 Lloyd rounds, each a full scan + driver collect, per query):
+  //  - ivfTrain: k-means on a small DETERMINISTIC SAMPLE, Lloyd on the driver.
+  //    One distributed pass total (the sample take); at 10^9 vectors you train
+  //    the coarse quantizer on ~10^4 samples, never the corpus.
+  //  - ivfAssign/ivfBuildIndex: assign the corpus to cells ONCE (one codegen'd
+  //    scan), persist partitioned by cell — queries partition-prune to nprobe
+  //    cells.
+  //  - ivfTopKCosine: centroids passed in; scans only the probed cells.
+  // Deterministic end-to-end: sample = smallest ids, fixed iterations.
   // ---------------------------------------------------------------------------
-
-  /** Unit-normalize as a two-projection shape: the norm (an aggregate) must be
-    * an alias in its OWN projection — embedding it inside the per-element
-    * transform lambda re-evaluates the whole 64-op aggregate per element
-    * (measured ~5 ms/row: 64 elems x 16 centroids x 64-op norm). */
-  private def withUnit(df: DataFrame, idCol: String, embCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(embCol).as("emb"), norm(col(embCol)).as("__n"))
-      .select(col("id"), col("emb"),
-        transform(col("emb"), x => x.cast(DoubleType) / col("__n")).as("u"))
 
   /** Cell assignment = argmax of raw dot(emb, centroid): centroids are kept
     * unit-norm, and cosine order is invariant to the row's own norm — so no
     * per-row normalization is needed at assignment time at all. ONE nested
-    * literal for the centroid matrix keeps the Catalyst tree tiny. */
-  private def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    * literal for the centroid matrix keeps the Catalyst tree tiny.
+    * Ties take the larger cell index (struct max compares (d, idx)). */
+  def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val cAll = typedlit(centroids)
     array_max(zip_with(cAll, sequence(lit(0), lit(centroids.size - 1)),
       (c, i) => struct(dot(emb, c).as("d"), i.as("idx")))).getField("idx")
   }
 
-  /** Train the coarse quantizer: deterministic init (k smallest ids), `iters`
-    * Lloyd rounds on unit-normalized vectors. */
-  def ivfTrain(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    val v = withUnit(df, idCol, embCol)
-    var centroids: Seq[Seq[Double]] = v.orderBy("id").limit(k)
-      .select("u").collect().map(_.getSeq[Double](0).toSeq).toSeq
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  /** Train the coarse quantizer: deterministic sample (smallest ids — one
+    * TakeOrdered pass, k-heaps per partition), then Lloyd entirely on the
+    * driver over unit-normalized sample vectors (cosine geometry).
+    * `iters = 0` => centroids are just the unit-normalized embeddings of the
+    * k smallest ids — fully reproducible by any engine from the data alone. */
+  def ivfTrain(
+      df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3,
+      sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    val sample = df
+      .select(col(idCol).cast(LongType).as("id"), col(embCol).cast("array<double>").as("e"))
+      .orderBy("id").limit(math.max(sampleSize, k))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need >= $k vectors to train $k cells")
+    val points = sample.map(unit)
+    var centroids: Array[Array[Double]] = points.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val assigned = v.select(nearestCentroid(col("u"), centroids).as("cl"), col("u"))
-      val sums = assigned
-        .select(col("cl"), posexplode(col("u")).as(Seq("dim", "x")))
-        .groupBy("cl", "dim").agg(avg(col("x")).as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      centroids = centroids.zipWithIndex.map { case (old, i) =>
-        val dim = old.size
-        val cand = (0 until dim).map(d => sums.getOrElse((i, d), old(d)))
-        val n = math.sqrt(cand.map(x => x * x).sum)
-        if (n > 0) cand.map(_ / n) else old // keep unit-norm (cosine geometry)
+      val dim = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i) * centroids(c)(i); i += 1 }
+          if (d >= bestD) { bestD = d; best = c } // ties: larger idx, matches nearestCentroid
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else unit(sums(c).map(_ / counts(c)))
       }
     }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Assign every vector to its cell — ONE codegen'd scan, no shuffle. */
+  def ivfAssign(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(col(embCol).cast("array<double>"), centroids).as("cell"))
+
+  /** Build + persist the index: corpus partitioned by cell (queries
+    * partition-prune to their nprobe cells) and centroids as JSON. */
+  def ivfBuildIndex(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String,
+      numCells: Int = 16, iters: Int = 3, sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize)
+    ivfAssign(df, idCol, embCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(json).toDF("centroids").coalesce(1)
+      .write.mode("overwrite").json(s"$indexDir/centroids")
     centroids
   }
 
-  /** IVF-bucketed top-k cosine: assign corpus to cells once, then scan only the
-    * `nprobe` cells nearest to the query. */
-  def ivfTopKCosine(
-      df: DataFrame, idCol: String, embCol: String, query: Seq[Double], k: Int,
-      numCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = ivfTrain(df, idCol, embCol, numCells, iters)
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val qu = query.map(_ / qn)
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(qu).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
-      .sorted.take(nprobe).map(_._2)
-    // assignment works on the raw embedding (argmax dot vs unit centroids)
-    val indexed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      nearestCentroid(col(embCol).cast("array<double>"), centroids).as("cell"))
-    val q = array(qu.map(lit): _*)
-    indexed.filter(col("cell").isin(probeCells: _*))
-      .select(col("id"), cosine(col("emb"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select("rank", "id", "cosine")
+  def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
+    val json = spark.read.json(s"$indexDir/centroids")
+      .select("centroids").head.getString(0)
+    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq
   }
+
+  /** Which nprobe cells to scan for a query: centroids ranked by dot with the
+    * unit query, descending (== nearest by angle; unit-norm both sides). */
+  def probeCells(centroids: Seq[Seq[Double]], query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val qu = unit(query.toArray)
+    centroids.zipWithIndex
+      .map { case (c, i) => (-c.zip(qu).map { case (a, b) => a * b }.sum, i) }
+      .sorted.take(nprobe).map(_._2)
+  }
+
+  /** IVF top-k over a PRE-ASSIGNED corpus (from [[ivfAssign]] or the persisted
+    * index): scans only the nprobe cells nearest the query. */
+  def ivfTopKCosineAssigned(
+      indexed: DataFrame, centroids: Seq[Seq[Double]], query: Seq[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cells = probeCells(centroids, query, nprobe)
+    val q = array(query.map(lit): _*) // raw query: cosine() normalizes both sides
+    rankTopK(
+      indexed.filter(col("cell").isin(cells: _*))
+        .select(col("id"), cosine(col("emb"), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k))
+  }
+
+  /** Convenience: assign inline (one scan) and query with given centroids.
+    * For repeated queries, persist with [[ivfBuildIndex]] and reuse. */
+  def ivfTopKCosine(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame =
+    ivfTopKCosineAssigned(ivfAssign(df, idCol, embCol, centroids), centroids, query, k, nprobe)
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Exact O(n^2) flavor
     * for verification; LSH-bucketed flavor for scale (pairs only form inside a
@@ -178,10 +239,14 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** @param dim embedding dimensionality; <= 0 derives it from the first row
+    *            (one tiny driver action) — a fixed wrong default would
+    *            silently truncate signatures on wider corpora. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+      numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(embCol))).head.getInt(0)
+    val planes = hyperplanes(numPlanes, d, seed)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshSignature(col(embCol), planes).as("sig"))
     val a = v.withColumnsRenamed(Map("id" -> "id_a", "emb" -> "emb_a", "sig" -> "sig_a"))

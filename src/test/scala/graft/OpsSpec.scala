@@ -73,6 +73,24 @@ class OpsSpec extends SparkSpec {
     assert(exactPairs.subsetOf(found))
   }
 
+  test("simhash banding guarantee: banded pairs == brute-force pairs (maxHamming=15)") {
+    // pigeonhole: maxHamming+1 disjoint covering chunks => recall 1.0 at ANY
+    // radius (the round-1 fixed 4x16 banding silently missed distance > 3)
+    val maxH = 15
+    val sigs = dupDocs.select($"doc_id".as("id"), Dedup.simhash($"text").as("sig")).cache()
+    val a = sigs.select($"id".as("id_a"), $"sig".as("sa"))
+    val b = sigs.select($"id".as("id_b"), $"sig".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .withColumn("h", Dedup.hammingDistance($"sa", $"sb"))
+      .filter($"h" <= maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDups(dupDocs, "doc_id", "text", maxHamming = maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the planted near-dups actually land within radius
+    sigs.unpersist()
+  }
+
   test("brute-force cosine top-k: query's own embedding ranks first") {
     val q = embs.filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
       .as[Seq[Double]].collect().head
@@ -138,6 +156,16 @@ class OpsSpec extends SparkSpec {
     val meta = row.getAs[org.apache.spark.sql.Row]("meta")
     assert(meta.getAs[Long]("byte_size") > 0)
     assert(meta.getAs[Int]("width") >= 16 && meta.getAs[Int]("width") < 1936)
+    // fakeResize keeps the struct schema EQUAL to mediaMetaType (byte_size must
+    // stay LongType — Column `/` is double division) and never upscales
+    val resized = m.select($"doc_id", Multimodal.fakeResize($"meta", 64, 64).as("meta"))
+    // compare field names + types (nullability differs only via lit() inputs)
+    val resizedMeta = resized.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(resizedMeta.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rrow = resized.orderBy("doc_id").collect().head.getAs[org.apache.spark.sql.Row]("meta")
+    assert(rrow.getAs[Int]("width") <= 64 && rrow.getAs[Int]("height") <= 64)
+    assert(rrow.getAs[Long]("byte_size") <= meta.getAs[Long]("byte_size"))
     val feats = media.select(Multimodal.fakeFeatures($"media", 16).as("f"))
       .select(size($"f"), array_min($"f"), array_max($"f"))
       .as[(Int, Double, Double)].collect()
@@ -148,21 +176,32 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("bytes").length <= 16))
   }
 
-  test("IVF ANN: probe-limited search achieves high recall; own cell contains query") {
+  test("IVF ANN: train once (driver k-means on a sample), query many; persisted index reuse") {
     val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
       .as[Seq[Double]].collect().head
     val exact = Similarity.topKCosine(embs, "vec_id", "embedding", q, 10)
       .select("id").as[Long].collect().toSet
-    val ivf = Similarity.ivfTopKCosine(embs, "vec_id", "embedding", q, 10,
-      numCells = 16, nprobe = 6)
+    // training is a separate step — never inside the query path
+    val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
+    assert(centroids.size === 16)
+    val ivf = Similarity.ivfTopKCosine(embs, "vec_id", "embedding", centroids, q, 10, nprobe = 6)
       .select("id").as[Long].collect().toSet
     assert(ivf.contains(7L))
     val recall = exact.count(ivf).toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall")
-    // determinism: same input, same parameters => same result
-    val again = Similarity.ivfTopKCosine(embs, "vec_id", "embedding", q, 10,
-      numCells = 16, nprobe = 6).select("id").as[Long].collect().toSet
-    assert(again === ivf)
+    // determinism: same input, same parameters => same centroids and result
+    val again = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
+    assert(again === centroids)
+    // persisted index: build once, reload centroids + cell-pruned corpus, same answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val built = Similarity.ivfBuildIndex(embs, "vec_id", "embedding", dir, numCells = 16, iters = 3)
+    assert(built === centroids)
+    val loaded = Similarity.ivfLoadCentroids(spark, dir)
+    assert(loaded === centroids)
+    val fromIndex = Similarity.ivfTopKCosineAssigned(
+      spark.read.parquet(s"$dir/cells"), loaded, q, 10, nprobe = 6)
+      .select("id").as[Long].collect().toSet
+    assert(fromIndex === ivf)
   }
 
   test("multimodal batched decode: mapPartitions batch shape, deterministic output") {

@@ -96,4 +96,17 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ops.Similarity.topKCosine(e, "vec_id", "embedding", q, 10))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("minhash/simhash signature projections stay inside whole-stage codegen") {
+    // the signatures are native Expressions (one JITed static call each) — a
+    // HOF fold here would be CodegenFallback and evict the whole projection
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pMin = plan(d.select(col("doc_id"),
+      graft.ops.Dedup.minhashSignature(col("text"), 3, 64).as("sig")))
+    assert(pMin.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"minhash signature projection not codegen'd:\n$pMin")
+    val pSim = plan(d.select(col("doc_id"), graft.ops.Dedup.simhash(col("text")).as("sig")))
+    assert(pSim.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"simhash signature projection not codegen'd:\n$pSim")
+  }
 }

@@ -55,15 +55,16 @@ class ValidatorSpec extends SparkSpec {
       ("2", "name.required", "can't be blank")))
   }
 
-  test("cast: uncastable value emits is invalid AND required (Ecto both-errors)") {
+  test("cast: uncastable value emits ONLY is invalid (required skips errored fields)") {
+    // Ecto's validate_required has an is_nil(errors[field]) guard — a field
+    // whose cast failed never ALSO reports "can't be blank"
+    // (reference: lib/changeset.ex:45 -> Ecto.Changeset.validate_required)
     val df = Seq((1, "abc"), (2, "42"), (3, "4.5")).toDF("id", "n")
     val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
     val r = Validator.validate(spec, df)
     assert(viols(r) === Set(
       ("1", "n.cast", "is invalid"),
-      ("1", "n.required", "can't be blank"),
-      ("3", "n.cast", "is invalid"),
-      ("3", "n.required", "can't be blank")))
+      ("3", "n.cast", "is invalid")))
   }
 
   test("changes-gating: validators only fire for present+cast-ok fields (§1.3)") {
@@ -197,9 +198,9 @@ class ValidatorSpec extends SparkSpec {
     val spec = SchemaSpec("s", Seq(Field.of("genre", genre).req), keyColumns = Seq("id"))
     val df = Seq((1, "biography"), (2, "1"), (3, "poetry")).toDF("id", "genre")
     val r = Validator.validate(spec, df)
+    // cast failure only — required skips fields already carrying an error
     assert(viols(r) === Set(
-      ("3", "genre.cast", "is invalid"),
-      ("3", "genre.required", "can't be blank")))
+      ("3", "genre.cast", "is invalid")))
     assert(r.coerced.orderBy("id").as[(Int, String)].collect().toSeq ===
       Seq((1, "biography"), (2, "science_fiction"), (3, null)))
     val dumped = Validator.dump(spec, r.coerced)

@@ -205,6 +205,30 @@ object SparkEntry {
       Validator.dumpJson(spec, r.coerced)
     }),
 
+    // ---- P4 JSON dump recursion through embeds (rename/omitempty INSIDE nested structs; embeds_many maps) ----
+    "q_dump_embeds" -> ((s, dir) => {
+      val authorSchema = SchemaSpec("author", Seq(
+        Field.string("first_name").req.json(name = "firstName"),
+        Field.string("last_name").json(name = "lastName"),
+        Field.string("bio").json(omitempty = true)))
+      val spec = SchemaSpec("doc",
+        fields = Seq(Field.string("lang"), Field.string("text").json(skip = true)),
+        embeds = Seq(
+          EmbedSpec("author", authorSchema, jsonName = Some("writer")),
+          EmbedSpec("coauthors", authorSchema, many = true)),
+        keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents")
+        .withColumn("author", struct(
+          col("source").as("first_name"),
+          col("lang").as("last_name"),
+          expr("nullif(source, 'src3')").as("bio")))
+        .withColumn("coauthors", array(
+          struct(lit("a").as("first_name"), col("lang").as("last_name"),
+            lit(null).cast("string").as("bio"))))
+      val r = Validator.validate(spec, df)
+      Validator.dumpJson(spec, r.coerced)
+    }),
+
     // ---- C10 enum key-or-value cast ----------------------------------------------------------------
     "q_enum_roundtrip" -> ((s, dir) => {
       val spec = SchemaSpec("g", Seq(
@@ -214,6 +238,29 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1, lit("1"))
           .otherwise(lit("xx")))
       Validator.validate(spec, df).coerced.select("doc_id", "genre")
+    }),
+
+    // ---- :map type (element-wise cast; any failing entry fails the map) --------------------------------
+    "q_map_type" -> ((s, dir) => {
+      val spec = SchemaSpec("d", Seq(Field.map("attrs", FInteger)), keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents").withColumn("attrs",
+        map(lit("n"), col("n_chars").cast("string"),
+          lit("m"), when(col("doc_id") % 10 === 0, lit("x"))
+            .otherwise((col("doc_id") % 7).cast("string"))))
+      Validator.validate(spec, df).coerced.select(col("doc_id"),
+        try_element_at(col("attrs"), lit("n")).as("n_val"),
+        try_element_at(col("attrs"), lit("m")).as("m_val"))
+    }),
+
+    // ---- :time type (canonical HH:mm:ss; invalid wall-clock => cast violation) -------------------------
+    "q_time" -> ((s, dir) => {
+      val spec = SchemaSpec("e", Seq(Field.time("t")), keyColumns = Seq("event_id"))
+      val df = t(s, dir, "events").withColumn("t",
+        when(col("event_id") % 13 === 0, lit("25:61:00"))
+          .otherwise(concat(
+            lpad((col("event_id") % 30).cast("string"), 2, "0"), lit(":15:"),
+            lpad((col("event_id") % 60).cast("string"), 2, "0"))))
+      Validator.validate(spec, df).coerced.select("event_id", "t")
     }),
 
     // ---- C7/C8 union ---------------------------------------------------------------------------------
@@ -491,6 +538,16 @@ object SparkEntry {
                 '"n_chars":' || CAST(n_chars AS VARCHAR) || '}' AS json
          FROM documents""",
 
+    "q_dump_embeds" ->
+      """SELECT doc_id,
+                '{' || '"lang":"' || lang || '",' ||
+                '"writer":{"firstName":"' || source || '","lastName":"' || lang || '"' ||
+                CASE WHEN source = 'src3' THEN '' ELSE ',"bio":"' || source || '"' END ||
+                '},' ||
+                '"coauthors":[{"firstName":"a","lastName":"' || lang || '"}]' ||
+                '}' AS json
+         FROM documents""",
+
     "q_enum_roundtrip" ->
       """SELECT doc_id,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'es' END AS genre
@@ -502,6 +559,19 @@ object SparkEntry {
                 CASE CAST(event_id % 3 AS INTEGER)
                   WHEN 0 THEN CAST(event_id % 100 AS VARCHAR)
                   WHEN 1 THEN '3.5' END AS dumped
+         FROM events""",
+
+    "q_map_type" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END AS n_val,
+                CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id % 7 END AS m_val
+         FROM documents""",
+
+    "q_time" ->
+      """SELECT event_id,
+                CASE WHEN event_id % 13 = 0 OR (event_id % 30) > 23 THEN NULL
+                     ELSE lpad(CAST(event_id % 30 AS VARCHAR), 2, '0') || ':15:' ||
+                          lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') END AS t
          FROM events""",
 
     "q_validate_documents" -> flagshipOracleUnion,

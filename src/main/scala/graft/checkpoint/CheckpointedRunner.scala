@@ -44,11 +44,25 @@ object CheckpointedRunner {
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
   }
 
-  /** Process all pending buckets, committing one manifest row per completed
-    * bucket so a kill between buckets loses at most the in-flight bucket.
+  /** Process ALL pending buckets in ONE write job (the round-1 version looped
+    * buckets on the driver with a coalesce(1) write and two rescans per bucket
+    * — 1024 sequential single-task jobs at 100 TB / 1024 buckets).
     *
-    * @param process bucket-scoped DataFrame => violations DataFrame to persist
-    * @param sortCols deterministic output order within a bucket (byte-stable resume)
+    * Shape: one partition-pruned scan of the pending buckets -> process ->
+    * re-derive each output row's bucket from its key columns -> one
+    * dynamic-overwrite write hash-clustered by bucket (each bucket lands
+    * contiguous + sorted in exactly one task => byte-stable resume), then TWO
+    * cheap aggregate jobs (input rows per bucket, sink rows per bucket) feed
+    * the manifest — never a per-bucket rescan.
+    *
+    * Kill semantics: the manifest commits strictly after the write job, so a
+    * kill anywhere re-processes only uncommitted buckets on resume and the
+    * dynamic overwrite makes the redo idempotent.
+    *
+    * @param process  bucket-scoped DataFrame => violations DataFrame; its
+    *                 output must retain `keyCols` (bucket is re-derived)
+    * @param sortCols deterministic output order within a bucket
+    * @param keyCols  the bucketing keys used in [[stage]]
     * @return buckets processed in this invocation
     */
   def run(
@@ -60,32 +74,39 @@ object CheckpointedRunner {
       process: DataFrame => DataFrame,
       sortCols: Seq[String],
       runId: String,
+      keyCols: Seq[String],
       maxBuckets: Int = Int.MaxValue): Seq[Int] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(spark, manifestDir)
     val pending = (0 until numBuckets).filterNot(done).take(maxBuckets)
+    if (pending.isEmpty) return Seq.empty
+    val t0 = System.nanoTime()
     val staged = spark.read.parquet(stagingDir)
-    for (b <- pending) {
-      val t0 = System.nanoTime()
-      // partition-pruned scan: only bucket=b directories are read
-      val in = staged.filter(col("bucket") === b).drop("bucket")
-      val out = process(in)
-      val rows = in.count()
-      val sorted = out
-        .withColumn("bucket", lit(b))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .coalesce(1)
-        .sortWithinPartitions(sortCols.map(col): _*)
-      sorted.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
-      val nViol = spark.read.parquet(outDir).filter(col("bucket") === b).count()
-      val wallMs = (System.nanoTime() - t0) / 1000000
-      import scala.jdk.CollectionConverters._
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericRow(
-        Array[Any](b, runId, stagingDir, rows, nViol, wallMs, "done"))
-      spark.createDataFrame(
-        List(org.apache.spark.sql.Row.fromSeq(row.toSeq)).asJava, manifestSchema)
-        .write.mode(SaveMode.Append).parquet(manifestDir)
+    // partition-pruned scan: only pending bucket directories are read
+    val in = staged.filter(col("bucket").isin(pending: _*))
+    val bucketOf =
+      pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast(IntegerType)
+    val out = process(in.drop("bucket")).withColumn("bucket", bucketOf)
+    out
+      .repartition(math.max(pending.size, 1), col("bucket"))
+      .sortWithinPartitions((col("bucket") +: sortCols.map(col)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
+    // manifest metrics from two column-pruned aggregates over the SAME data
+    // the job touched (input buckets + the small sink), not per-bucket rescans
+    val rowsByBucket = in.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val violsByBucket = spark.read.parquet(outDir)
+      .filter(col("bucket").isin(pending: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    import scala.jdk.CollectionConverters._
+    val manifestRows = pending.map { b =>
+      org.apache.spark.sql.Row(b, runId, stagingDir,
+        rowsByBucket.getOrElse(b, 0L), violsByBucket.getOrElse(b, 0L), wallMs, "done")
     }
+    spark.createDataFrame(manifestRows.asJava, manifestSchema)
+      .write.mode(SaveMode.Append).parquet(manifestDir)
     pending
   }
 }

@@ -178,12 +178,18 @@ object SchemaCompiler {
 
     // ---- embeds (C4): recurse ----------------------------------------------
     for (e <- spec.embeds) {
+      // inline do-block embeds inherit the parent's extension-pack filters
+      // (reference: lib/schema.ex:369-387); module embeds keep their own
+      val childSchema =
+        if (e.inline && e.schema.only.isEmpty && e.schema.except.isEmpty)
+          e.schema.copy(only = spec.only, except = spec.except)
+        else e.schema
       val (raw, tOpt) = resolve(e.input)
       tOpt match {
         case Some(st: StructType) if !e.many =>
           val childResolve = resolverForStruct(raw, st)
           val (childValues, childTriggers, childViols) = compileScope(
-            e.schema, childResolve, bindings,
+            childSchema, childResolve, bindings,
             concat(prefix, lit(s"${e.name}.")), values)
           val childStruct = struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*)
           // embeds_one defaults_to_struct: missing non-required embed => struct of nulls
@@ -206,7 +212,7 @@ object SchemaCompiler {
             val childResolve = resolverForStruct(x, st)
             val elemPrefix = concat(prefix, lit(s"${e.name}["), i.cast(StringType), lit("]."))
             val (childValues, childTriggers, childViols) =
-              compileScope(e.schema, childResolve, bindings, elemPrefix, parentVals)
+              compileScope(childSchema, childResolve, bindings, elemPrefix, parentVals)
             val elemViols = childTriggers.map(t => entryArr(t.fire, t.cid, t.reason)) ++ childViols
             struct(
               struct(e.schema.fields.map(f => childValues(f.name).as(f.name)): _*).as("value"),

@@ -143,6 +143,59 @@ case object FUtcDatetime extends FType {
   override def dumpExpr(c: Column): Column = c.cast(StringType)
 }
 
+/** :time — seconds precision (Ecto :time; reference: lib/flint/types/union.ex:169
+  * witness). Spark 4's TIME type is config-gated off by default, so values are
+  * canonical "HH:mm:ss" STRINGS: ordering, grouping, and round-trips all hold,
+  * and any engine reproduces them (documented divergence, SURVEY §1.2).
+  * Invalid wall-clock input ("25:00:00") => cast violation. */
+case object FTime extends FType {
+  val name = "time"
+  val sparkType: DataType = StringType
+  private def parse(c: Column): Column =
+    try_to_timestamp(concat(lit("1970-01-01 "), c), lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: StringType                          => date_format(parse(c), "HH:mm:ss")
+    case _: TimestampType | _: TimestampNTZType => date_format(c, "HH:mm:ss")
+    case _                                      => nullOf
+  }
+}
+
+/** :time_usec — microsecond precision (union.ex:170). */
+case object FTimeUsec extends FType {
+  val name = "time_usec"
+  val sparkType: DataType = StringType
+  private def parse(c: Column): Column =
+    try_to_timestamp(concat(lit("1970-01-01 "), c), lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case _: StringType                          => date_format(parse(c), "HH:mm:ss.SSSSSS")
+    case _: TimestampType | _: TimestampNTZType => date_format(c, "HH:mm:ss.SSSSSS")
+    case _                                      => nullOf
+  }
+}
+
+/** :map — element-wise key/value cast; any failing entry fails the whole cast
+  * (Ecto map-cast semantics; reference: union.ex:175 type witness). */
+case class FMap(value: FType, key: FType = FString()) extends FType {
+  val name = s"map<${key.name},${value.name}>"
+  val sparkType: DataType = MapType(key.sparkType, value.sparkType)
+  def castExpr(c: Column, in: DataType): Column = in match {
+    case mt: MapType =>
+      val ks = map_keys(c); val vs = map_values(c)
+      val badK = exists(ks, k => k.isNotNull && key.castExpr(k, mt.keyType).isNull)
+      val badV = exists(vs, v => v.isNotNull && value.castExpr(v, mt.valueType).isNull)
+      when(!coalesce(badK || badV, lit(false)),
+        map_from_arrays(
+          transform(ks, k => key.castExpr(k, mt.keyType)),
+          transform(vs, v => value.castExpr(v, mt.valueType))))
+        .otherwise(nullOf)
+    case _ => nullOf
+  }
+  override def dumpExpr(c: Column): Column =
+    map_from_arrays(
+      transform(map_keys(c), k => key.dumpExpr(k)),
+      transform(map_values(c), v => value.dumpExpr(v)))
+}
+
 case object FBinary extends FType {
   val name = "binary"
   val sparkType: DataType = BinaryType
@@ -241,6 +294,25 @@ case class FUnion(branches: Seq[FType], lazyInfer: Boolean = false) extends FTyp
     val m = map(branches.zipWithIndex.flatMap { case (b, i) => Seq(lit(s"b$i"), lit(b.name)) }: _*)
     element_at(m, c.getField("branch"))
   }
+}
+
+/** C11 parameterized custom types with DEFAULTS (reference: lib/type.ex:42-166
+  * `use Flint.Type, extends: ...` whose init/1 merges call-site opts over the
+  * declared ones — the Category/NewUID README examples): the template holds
+  * default params; apply() merges overrides and builds the concrete type.
+  *
+  * {{{
+  * val Category = FTypeTemplate("category", Map("values" -> Seq("folder", "file")),
+  *   (p) => FEnum(p("values").asInstanceOf[Seq[String]].map(v => v -> v)))
+  * Category()                                   // default values
+  * Category("values" -> Seq("a", "b"))          // field-site override
+  * }}}
+  */
+case class FTypeTemplate(
+    name: String,
+    defaults: Map[String, Any],
+    make: Map[String, Any] => FType) {
+  def apply(params: (String, Any)*): FType = make(defaults ++ params)
 }
 
 /** Custom type (C11, reference lib/type.ex deftype/extends): delegate to a base

@@ -241,6 +241,10 @@ object Field {
   def datetime(name: String): FieldSpec = FieldSpec(name, FUtcDatetime)
   def binary(name: String): FieldSpec = FieldSpec(name, FBinary)
   def array(name: String, elem: FType): FieldSpec = FieldSpec(name, FArray(elem))
+  def map(name: String, value: FType, key: FType = FString()): FieldSpec =
+    FieldSpec(name, FMap(value, key))
+  def time(name: String): FieldSpec = FieldSpec(name, FTime)
+  def timeUsec(name: String): FieldSpec = FieldSpec(name, FTimeUsec)
   def enum(name: String, mapping: (String, Any)*): FieldSpec = FieldSpec(name, FEnum(mapping))
   def union(name: String, branches: FType*): FieldSpec = FieldSpec(name, FUnion(branches))
   def unionLazy(name: String, branches: FType*): FieldSpec =
@@ -257,8 +261,16 @@ case class EmbedSpec(
     schema: SchemaSpec,
     many: Boolean = false,
     required: Boolean = false,
-    inputColumn: Option[String] = None) {
+    inputColumn: Option[String] = None,
+    /** P4 name: — JSON key rename; embeds are always serialized (the reference
+      * checks `key in embeds` before ignore/omitempty, json.ex:129-137). */
+    jsonName: Option[String] = None,
+    /** Inline do-block embeds inherit the parent schema's extension filters
+      * (reference: lib/schema.ex:369-387, inherit at :372/:382); module embeds
+      * keep their own. */
+    inline: Boolean = false) {
   def input: String = inputColumn.getOrElse(name)
+  def jsonKey: String = jsonName.getOrElse(name)
 }
 
 /** Rule-pack registry: each pack is one changeset-time stage, mirroring the

@@ -56,13 +56,32 @@ final case class ValidationResult(
         sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_rows"),
         sum(size(col("violations")).cast(LongType)).as("violations"))
 
-  /** E3 `new!/2`: throw with a bounded sample of violations when any row fails. */
+  /** E3 `new!/2`: throw when any row fails, with the reference's raise text —
+    * the struct rendered with error-message LISTS merged over the field values
+    * (`%Character{type: ["Expected elf or human, got: orc"], age: 10}`;
+    * reference: lib/schema.ex:441-456 — traverse_errors interpolates
+    * `%{placeholder}`s, which graft's reason columns already bake in).
+    * One struct per failing row, up to `sample` rows. */
   def orThrow(sample: Int = 5): DataFrame = {
-    val bad = violations.limit(sample).collect()
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"validation of ${spec.name} failed; sample violations: " +
-          bad.map(_.mkString("(", ", ", ")")).mkString("; "))
+    val bad = annotated.filter(!annotated("valid")).limit(sample).collect()
+    if (bad.nonEmpty) {
+      def inspect(v: Any): String = v match {
+        case null      => "nil"
+        case s: String => "\"" + s + "\""
+        case other     => other.toString
+      }
+      val names = spec.allFields.map(_.name) ++ spec.embeds.map(_.name)
+      val structs = bad.map { row =>
+        val vs = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
+        val parts = names.map { f =>
+          val errs = vs.filter(_.getString(0).startsWith(s"$f.")).map(_.getString(1))
+          if (errs.nonEmpty) s"$f: [${errs.map(e => "\"" + e + "\"").mkString(", ")}]"
+          else s"$f: ${inspect(row.getAs[Any](f))}"
+        }
+        s"%${spec.name}{${parts.mkString(", ")}}"
+      }
+      throw new IllegalArgumentException(structs.mkString("\n"))
+    }
     coerced
   }
 }
@@ -91,21 +110,36 @@ object Validator {
   }
 
   /** E4/P3/P4 dump: serialized projection applying each type's dumpExpr and the
-    * JSON options (name:, ignore:) as column renames/drops
-    * (reference: lib/flint/extensions/json.ex:120-169).
-    */
+    * JSON options (name:, ignore:) as column renames/drops — RECURSING into
+    * embeds: nested fields are dumped/renamed inside their struct, embeds_many
+    * maps over elements (reference: lib/flint/extensions/json.ex:120-169,
+    * encode_embedded at :162-169). Embeds themselves are always serialized
+    * (the `key in embeds` branch precedes ignore/omitempty in the reference). */
   def dump(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
+    def dumpStruct(s: SchemaSpec, get: String => Column): Column = {
+      val fieldCols = s.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
+        f.ftype.dumpExpr(get(f.name)).as(f.jsonName.getOrElse(f.name))
+      }
+      val embedCols = s.embeds.map(e => dumpEmbed(e, get(e.name)).as(e.jsonKey))
+      struct(fieldCols ++ embedCols: _*)
+    }
+    def dumpEmbed(e: EmbedSpec, c: Column): Column =
+      if (e.many) transform(c, x => dumpStruct(e.schema, n => x.getField(n)))
+      else when(c.isNull, lit(null)).otherwise(dumpStruct(e.schema, n => c.getField(n)))
     val cols = spec.keyColumns.filterNot(k => spec.allFields.exists(_.name == k))
       .map(k => coerced(k)) ++
       spec.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
         f.ftype.dumpExpr(coerced(f.name)).as(f.jsonName.getOrElse(f.name))
-      }
+      } ++
+      spec.embeds.map(e => dumpEmbed(e, coerced(e.name)).as(e.jsonKey))
     coerced.select(cols: _*)
   }
 
   /** P4 exact-JSON dump: one JSON string per row with deterministic key order,
-    * honoring name:/omitempty:/ignore:. Null handling is explicit — only
-    * omitempty fields drop when null (Spark's to_json can't express that mix).
+    * honoring name:/omitempty:/ignore: — recursively through embeds_one
+    * (nested object) and embeds_many (array of objects). Null handling is
+    * explicit — only omitempty fields drop when null (Spark's to_json can't
+    * express that mix).
     */
   def dumpJson(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
     def scalarJson(c: Column, t: FType): Column = {
@@ -117,16 +151,29 @@ object Validator {
         case _ => concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
       }
     }
-    val frags: Seq[Column] = spec.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
-      val key = f.jsonName.getOrElse(f.name)
-      val c = coerced(f.name)
-      val kv = concat(lit("\"" + key + "\":"),
-        when(c.isNull, lit("null")).otherwise(scalarJson(c, f.ftype)))
-      if (f.omitEmpty) when(c.isNull, lit(null)).otherwise(kv) else kv
+    def objJson(s: SchemaSpec, get: String => Column): Column = {
+      val fieldFrags: Seq[Column] = s.allFields.filterNot(f => f.ignore || f.virtual).map { f =>
+        val key = f.jsonName.getOrElse(f.name)
+        val c = get(f.name)
+        val kv = concat(lit("\"" + key + "\":"),
+          when(c.isNull, lit("null")).otherwise(scalarJson(c, f.ftype)))
+        if (f.omitEmpty) when(c.isNull, lit(null)).otherwise(kv) else kv
+      }
+      val embedFrags: Seq[Column] = s.embeds.map { e =>
+        val c = get(e.name)
+        val inner =
+          if (e.many) concat(lit("["),
+            concat_ws(",", transform(c, x => objJson(e.schema, n => x.getField(n)))),
+            lit("]"))
+          else objJson(e.schema, n => c.getField(n))
+        concat(lit("\"" + e.jsonKey + "\":"),
+          when(c.isNull, lit("null")).otherwise(inner))
+      }
+      // concat_ws skips nulls => omitted omitempty fields leave no dangling comma
+      concat(lit("{"), concat_ws(",", fieldFrags ++ embedFrags: _*), lit("}"))
     }
-    val body = concat_ws(",", frags: _*)
     coerced.select(spec.keyColumns.map(coerced(_)) :+
-      concat(lit("{"), body, lit("}")).as("json"): _*)
+      objJson(spec, coerced(_)).as("json"): _*)
   }
 
   private def jsonEscape(c: Column): Column =

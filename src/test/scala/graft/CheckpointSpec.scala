@@ -28,16 +28,16 @@ class CheckpointSpec extends SparkSpec {
 
     // full run in one go
     val all = CheckpointedRunner.run(spark, staging, m1, out1, numBuckets,
-      process, Seq("repo", "path", "constraint_id"), runId = "run-a")
+      process, Seq("repo", "path", "constraint_id"), runId = "run-a", keyCols = Seq("repo", "path"))
     assert(all === (0 until numBuckets))
 
     // interrupted run: only 3 buckets, then resume
     val out2 = s"$root/out2"; val m2 = s"$root/m2"
     val first = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
-      process, Seq("repo", "path", "constraint_id"), runId = "run-b", maxBuckets = 3)
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b", keyCols = Seq("repo", "path"), maxBuckets = 3)
     assert(first === Seq(0, 1, 2))
     val resumed = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
-      process, Seq("repo", "path", "constraint_id"), runId = "run-b2")
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b2", keyCols = Seq("repo", "path"))
     assert(resumed === (3 until numBuckets))
 
     // identical final content
@@ -49,7 +49,7 @@ class CheckpointSpec extends SparkSpec {
 
     // third invocation: nothing pending, nothing reprocessed
     val again = CheckpointedRunner.run(spark, staging, m2, out2, numBuckets,
-      process, Seq("repo", "path", "constraint_id"), runId = "run-b3")
+      process, Seq("repo", "path", "constraint_id"), runId = "run-b3", keyCols = Seq("repo", "path"))
     assert(again.isEmpty)
 
     // manifest carries lineage + metrics
@@ -59,6 +59,30 @@ class CheckpointSpec extends SparkSpec {
     assert(row.getAs[String]("input_path") === staging)
     assert(row.getAs[Long]("rows") > 0)
     assert(row.getAs[String]("status") === "done")
+  }
+
+  test("multi-bucket run is ONE write job (+2 metric aggregates), not one per bucket") {
+    // the round-1 runner launched 4 jobs PER bucket (process, count, write,
+    // rescan) with coalesce(1) writes — serial and single-task at 100 TB scale
+    val root = tmp()
+    val staging = s"$root/staging"
+    CheckpointedRunner.stage(CodeTable.generate(spark, 4000), Seq("repo", "path"), numBuckets, staging)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CheckpointedRunner.run(spark, staging, s"$root/m", s"$root/out", numBuckets,
+        process, Seq("repo", "path", "constraint_id"), runId = "one-job",
+        keyCols = Seq("repo", "path"))
+      Thread.sleep(500) // let queued listener events drain
+      // write + rows-per-bucket agg + sink agg + manifest write, plus AQE
+      // sub-jobs and parquet footer jobs — bounded (~9), NOT proportional to
+      // the 8 buckets (the round-1 loop launched ~4 jobs x 8 buckets = 32)
+      assert(jobs.get() <= 12, s"expected a bounded job count, got ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("staged layout partition-prunes: per-bucket read touches one directory") {

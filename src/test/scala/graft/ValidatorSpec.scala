@@ -288,12 +288,113 @@ class ValidatorSpec extends SparkSpec {
     assert(js === """{"ISBN":"x1","title":"T"}""")
   }
 
+  test("dump/dumpJson recurse into embeds (README Book nested author, json.ex:120-169)") {
+    val book = graft.fixtures.GoldenFixtures.book
+    val df = Seq((1, "Harry Potter", "fantasy")).toDF("case_id", "title", "genre")
+      .withColumn("author", struct(lit("J.K.").as("first_name"),
+        lit("Rowling").as("last_name"), lit(null).cast("string").as("bio")))
+      .withColumn("coauthors", array(struct(lit("Co").as("first_name"),
+        lit("A").as("last_name"), lit("b").as("bio"))))
+    val r = Validator.validate(book, df)
+    val js = Validator.dumpJson(book, r.coerced).select("json").as[String].collect().head
+    assert(js ===
+      """{"title":"Harry Potter","genre":"2","author":{"first_name":"J.K.","last_name":"Rowling","bio":null},"coauthors":[{"first_name":"Co","last_name":"A","bio":"b"}]}""")
+    // struct-shaped dump carries the embeds too (round-1 silently dropped them)
+    val d = Validator.dump(book, r.coerced)
+    assert(d.columns.toSeq === Seq("case_id", "title", "genre", "author", "coauthors"))
+    val a = d.select("author.last_name").as[String].collect().head
+    assert(a === "Rowling")
+  }
+
+  test("inline embeds inherit parent extension filters; module embeds do not (schema.ex:369-387)") {
+    val child = SchemaSpec("c", Seq(Field.integer("n").gt(10)))
+    def parent(inline: Boolean) = SchemaSpec("p",
+      fields = Seq(Field.integer("m").gt(10)),
+      embeds = Seq(EmbedSpec("e", child, inline = inline)),
+      keyColumns = Seq("id"),
+      except = Some(Seq(RulePacks.EctoValidations)))
+    val df = Seq((1, 5L)).toDF("id", "m")
+      .withColumn("e", struct(lit(5L).as("n")))
+    // parent disables ecto_validations; the inline embed inherits that
+    assert(Validator.validate(parent(inline = true), df).violations.count() === 0)
+    // a module embed keeps its own (default: all packs on) => n.gt fires
+    val v = Validator.validate(parent(inline = false), df).violations
+      .select("constraint_id").as[String].collect().toSeq
+    assert(v === Seq("e.n.greater_than"))
+  }
+
+  test(":map type: element-wise value cast, any failing entry fails the whole map (union.ex:175)") {
+    val spec = SchemaSpec("s", Seq(Field.map("attrs", FInteger)), keyColumns = Seq("id"))
+    val df = Seq(
+      (1, Map("a" -> "1", "b" -> "2")),
+      (2, Map("a" -> "1", "b" -> "x"))).toDF("id", "attrs")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(("2", "attrs.cast", "is invalid")))
+    val good = r.coerced.filter(col("id") === 1)
+      .select(element_at(col("attrs"), "a")).as[Long].collect().head
+    assert(good === 1L)
+  }
+
+  test(":time / :time_usec: canonical cast, invalid wall-clock rejected (union.ex:169-170)") {
+    val spec = SchemaSpec("s", Seq(Field.time("t"), Field.timeUsec("tu")), keyColumns = Seq("id"))
+    val df = Seq(
+      (1, "13:45:02", "13:45:02.123456"),
+      (2, "25:00:00", "oops")).toDF("id", "t", "tu")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(
+      ("2", "t.cast", "is invalid"),
+      ("2", "tu.cast", "is invalid")))
+    assert(r.coerced.filter(col("id") === 1).select("t", "tu")
+      .as[(String, String)].collect().head === (("13:45:02", "13:45:02.123456")))
+  }
+
+  test("parameterized custom type with defaults + field-site override (lib/type.ex:42-166 init/1)") {
+    // README Category example: extends Enum with default values, overridable
+    val Category = FTypeTemplate("category", Map("values" -> Seq("folder", "file")),
+      p => FEnum(p("values").asInstanceOf[Seq[String]].map(v => v -> v)))
+    val spec = SchemaSpec("s", Seq(
+      Field.of("kind", Category()),
+      Field.of("kind2", Category("values" -> Seq("a", "b")))), keyColumns = Seq("id"))
+    val df = Seq((1, "folder", "a"), (2, "a", "folder")).toDF("id", "kind", "kind2")
+    val r = Validator.validate(spec, df)
+    assert(viols(r) === Set(
+      ("2", "kind.cast", "is invalid"),
+      ("2", "kind2.cast", "is invalid")))
+    // README NewUID example: extends a base type, dump overridden to length
+    val NewUID = FTypeTemplate("new_uid", Map("len_dump" -> true), p =>
+      FCustom("new_uid", FString(),
+        dumpOverride = if (p("len_dump") == true) Some((c: org.apache.spark.sql.Column) =>
+          length(c).cast("string")) else None))
+    val uidSpec = SchemaSpec("u", Seq(Field.of("uid", NewUID())), keyColumns = Seq("id"))
+    val d = Validator.dump(uidSpec,
+      Validator.validate(uidSpec, Seq((1, "abcd-123")).toDF("id", "uid")).coerced)
+    assert(d.select("uid").as[String].collect().head === "8")
+  }
+
   test("orThrow raises on invalid with sample (E3 new!)") {
     val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
     val bad = Seq((1, 5L)).toDF("id", "n")
     intercept[IllegalArgumentException] { Validator.validate(spec, bad).orThrow() }
     val ok = Seq((1, 50L)).toDF("id", "n")
     assert(Validator.validate(spec, ok).orThrow().count() === 1)
+  }
+
+  test("orThrow message parity: struct with error lists merged over values (README.md:185)") {
+    // %Character{type: ["Expected elf or human, got: orc"], age: 10} shape:
+    // errored fields become ["msg", ...]; clean fields show their cast value
+    val character = graft.fixtures.GoldenFixtures.character
+    val df = Seq((1, "orc", "10")).toDF("case_id", "type", "age")
+    val ex = intercept[IllegalArgumentException] {
+      Validator.validate(character, df,
+        bindings = Map("max_elf_age" -> 400, "max_human_age" -> 120)).orThrow()
+    }
+    assert(ex.getMessage === """%character{type: ["Expected elf or human"], age: 10}""")
+    // interpolated operands appear in the merged messages (%{number} baked in)
+    val p = SchemaSpec("p", Seq(Field.integer("age").gt(100)), keyColumns = Seq("id"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Validator.validate(p, Seq((1, 42L)).toDF("id", "age")).orThrow()
+    }
+    assert(ex2.getMessage === """%p{age: ["must be greater than 100"]}""")
   }
 
   test("summary: per-partition and grouped pass/fail counts (N3)") {

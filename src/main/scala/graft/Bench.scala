@@ -56,10 +56,15 @@ object Bench {
   /** One full operational suite pass, structured the way a 100 TB run is:
     * the expensive row-rule pass runs ONCE and lands in the violation sink
     * (N2); the per-partition summary (N3) derives from the sink joined with a
-    * cheap row-count scan — never a second full validation pass. */
-  /** @return wall seconds of the row-rule pass (the north_star "one pass per
-    *         partition") within this suite run */
-  private def runSuite(s: SparkSession, tableDir: String, dimDir: String, outDir: String): Double = {
+    * cheap row-count scan — never a second full validation pass.
+    *
+    * @return wall seconds per phase: the shuffle-free row-rule pass plus the
+    *         three shuffle phases — so the N vs 4N comparison shows WHICH
+    *         phase limits composite scaling on this one-box sandbox (its
+    *         shuffles share a single disk; real clusters scale shuffle with
+    *         executor-local disks). */
+  private def runSuite(
+      s: SparkSession, tableDir: String, dimDir: String, outDir: String): Map[String, Double] = {
     val df = s.read.parquet(tableDir)
     val dim = s.read.parquet(dimDir)
     val withFixture = df.withColumn("sha_fixture", col("content_sha256"))
@@ -75,22 +80,29 @@ object Bench {
     val sink = s.read.parquet(outDir)
     // N3: rows per partition is a column-pruned count-only scan (no rules);
     // violation counts come from the (small) sink
-    val rowsPerPart = withFixture.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("rows"))
-    val violPerPart = sink.groupBy("pid").agg(
-      count(lit(1)).as("violations"),
-      count_distinct(col("repo"), col("path")).as("invalid_rows"))
-    val summary = rowsPerPart.join(violPerPart, Seq("pid"), "left")
-      .select(col("pid"), col("rows"),
-        coalesce(col("violations"), lit(0L)).as("violations"),
-        coalesce(col("invalid_rows"), lit(0L)).as("invalid_rows"),
-        (col("rows") - coalesce(col("invalid_rows"), lit(0L))).as("valid_rows"))
-    summary.collect()
-    graft.suite.Checks.uniqueness(df, Seq("repo", "path", "commit")).count()
-    graft.suite.Checks.referentialViolations(
-      df, Seq("repo", "commit"), dim, Seq("repo", "commit"),
-      broadcastDim = true, keyCols = Seq("repo", "path")).count()
-    rowPassSec
+    val summarySec = time {
+      val rowsPerPart = withFixture.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("rows"))
+      val violPerPart = sink.groupBy("pid").agg(
+        count(lit(1)).as("violations"),
+        count_distinct(col("repo"), col("path")).as("invalid_rows"))
+      rowsPerPart.join(violPerPart, Seq("pid"), "left")
+        .select(col("pid"), col("rows"),
+          coalesce(col("violations"), lit(0L)).as("violations"),
+          coalesce(col("invalid_rows"), lit(0L)).as("invalid_rows"),
+          (col("rows") - coalesce(col("invalid_rows"), lit(0L))).as("valid_rows"))
+        .collect()
+    }
+    val uniqueSec = time {
+      graft.suite.Checks.uniqueness(df, Seq("repo", "path", "commit")).count()
+    }
+    val refSec = time {
+      graft.suite.Checks.referentialViolations(
+        df, Seq("repo", "commit"), dim, Seq("repo", "commit"),
+        broadcastDim = true, keyCols = Seq("repo", "path")).count()
+    }
+    Map("row_pass" -> rowPassSec, "summary" -> summarySec,
+      "uniqueness" -> uniqueSec, "referential" -> refSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -139,7 +151,7 @@ object Bench {
       System.setProperty("spark.test.home", "/opt/spark")
     }
     val coresPerExec = 8
-    def timedRun(nExec: Int): (Double, Double) = {
+    def timedRun(nExec: Int): (Double, Map[String, Double]) = {
       val cores = nExec * coresPerExec
       val s =
         if (sparkDist) sessionWithMaster(s"local-cluster[$nExec,$coresPerExec,6144]", cores)
@@ -147,10 +159,10 @@ object Bench {
       // full-table warm-up: a small-table warm-up leaves the timed run ~60%
       // slower at 4 executors (JIT depth + page/shuffle caches) — measured
       runSuite(s, tableDir, dimDir, s"$root/viol_sink")
-      var rowPass = 0.0
-      val sec = time { rowPass = runSuite(s, tableDir, dimDir, s"$root/viol_sink") }
+      var phases = Map.empty[String, Double]
+      val sec = time { phases = runSuite(s, tableDir, dimDir, s"$root/viol_sink") }
       s.stop()
-      (sec, rowPass)
+      (sec, phases)
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     // N vs 4N parallelism pair (sandbox proxy for N vs 4N executors). Default
@@ -164,25 +176,38 @@ object Bench {
     // for the identical job); min is the standard interference-robust estimator
     val t8 = samples.map(_._1._1).min
     val t32 = samples.map(_._2._1).min
-    val rowPassN = samples.map(_._1._2).min
-    val rowPass4N = samples.map(_._2._2).min
+    val phaseNames = Seq("row_pass", "summary", "uniqueness", "referential")
+    def minPhase(side: Int, p: String): Double =
+      samples.map(x => (if (side == 0) x._1 else x._2)._2(p)).min
+    val phasesN = phaseNames.map(p => p -> minPhase(0, p)).toMap
+    val phases4N = phaseNames.map(p => p -> minPhase(1, p)).toMap
+    val rowPassN = phasesN("row_pass")
+    val rowPass4N = phases4N("row_pass")
     val r8 = totalRows / t8
     val r32 = totalRows / t32
     val eff = r32 / (4.0 * r8)
     // the row-rule pass in isolation: shuffle-free, so it shows the engine's
     // scaling without the single-box shared-disk shuffle penalty that a real
-    // N->4N cluster (per-executor disks) does not have
+    // N->4N cluster (per-executor disks) does not have; the per-phase split
+    // below turns that attribution into a measurement
     val effRowPass = (totalRows / rowPass4N) / (4.0 * (totalRows / rowPassN))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sampleJson = samples.map { case (a, b) => f"[${a._1}%.2f,${b._1}%.2f]" }.mkString("[", ",", "]")
+    def phaseJson(m: Map[String, Double]): String =
+      phaseNames.map(p => f""""$p":${m(p)}%.3f""").mkString("{", ",", "}")
+    val phaseEffJson = phaseNames.map { p =>
+      f""""$p":${phasesN(p) / (4.0 * phases4N(p))}%.3f"""
+    }.mkString("{", ",", "}")
     val suiteJson =
       f"""{"rows":$totalRows,"n_executors":$scaleN,"cores_per_executor":8,"sec_localN":$t8%.3f,"sec_local4N":$t32%.3f,""" +
         f""""rows_per_sec_localN":${r8.toLong},"rows_per_sec_local4N":${r32.toLong},""" +
         f""""scaling_efficiency":$eff%.3f,"row_pass_sec_localN":$rowPassN%.3f,""" +
         f""""row_pass_sec_local4N":$rowPass4N%.3f,"row_pass_scaling_efficiency":$effRowPass%.3f,""" +
+        f""""phases_sec_localN":${phaseJson(phasesN)},"phases_sec_local4N":${phaseJson(phases4N)},""" +
+        f""""phase_scaling_efficiency":$phaseEffJson,""" +
         f""""samples_sec":$sampleJson}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}""")

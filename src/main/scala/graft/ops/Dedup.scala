@@ -88,10 +88,15 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard for given pairs: join shingle sets back, compute
-    * |intersect| / |union|. */
+    * |intersect| / |union|. Shingles are computed ONLY for documents that
+    * appear in a candidate pair (semi-join first): the verify stage's cost is
+    * ~candidates, never a second corpus-wide shingle pass. */
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    val candDocs = df.join(candIds, df(idCol) === candIds("__cid"), "left_semi")
+    val sets = candDocs.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
     val a = sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a"))
     val b = sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")

@@ -44,6 +44,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates dropped across micro-batches; audit stream counts them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+
+    val kept = graft.streaming.StreamingDedup.dedupExactStream(df, "doc_id", "text")
+    val q1 = kept.writeStream.format("memory").queryName("dedup_sink").outputMode("append").start()
+    val audit = graft.streaming.StreamingDedup.dedupAuditStream(df, "doc_id", "text")
+    val q2 = audit.writeStream.format("memory").queryName("audit_sink").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // 3 dups 1 in-batch
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData((4L, "alpha"), (5L, "gamma"))               // 4 dups 1 cross-batch
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      val keptIds = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
+      assert(keptIds === Set(1L, 2L, 5L))
+
+      val events = spark.table("audit_sink")
+        .select("id", "keep", "dup_count").as[(Long, Boolean, Long)].collect().toSet
+      assert(events === Set(
+        (1L, true, 0L), (2L, true, 0L), (3L, false, 1L),  // batch 1: 3 is the 2nd "alpha"
+        (4L, false, 2L), (5L, true, 0L)))                 // batch 2: state remembered "alpha"
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming windowed summary with watermark (violations per window)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -391,6 +391,17 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
+    // ---- similarity: int8-quantized search (4x smaller vectors; scale cancels in cosine ranking) -------------------------
+    "q_ann_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0)
+      val quant = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      Similarity.topKCosineInt8(quant, q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+    }),
+
     // ---- text analysis ------------------------------------------------------------------------------------------------------
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
@@ -708,6 +719,23 @@ object SparkEntry {
       scored AS (SELECT vec_id,
                         list_cosine_similarity(e, (SELECT qv FROM q)) AS sim
                  FROM cand)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+             vec_id AS id
+      FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    // Int8 quantization recomputed verbatim: scale = max|x|/127, codes =
+    // round(x*127/max|x|); ranking runs on the codes (scale cancels).
+    "q_ann_int8" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      mx AS (SELECT vec_id, e, greatest(list_max(e), -list_min(e)) AS m FROM ev),
+      qz AS (SELECT vec_id,
+                    CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+                         ELSE list_transform(e, x -> round(x * 127.0 / m)) END AS codes
+             FROM mx),
+      q AS (SELECT e AS qv FROM ev WHERE vec_id = 7),
+      scored AS (SELECT vec_id,
+                        list_cosine_similarity(codes, (SELECT qv FROM q)) AS sim
+                 FROM qz)
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
              vec_id AS id
       FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",

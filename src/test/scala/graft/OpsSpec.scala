@@ -204,6 +204,56 @@ class OpsSpec extends SparkSpec {
     assert(fromIndex === ivf)
   }
 
+  test("int8 quantization: 4x smaller codes, cosine ranking survives (scale cancels)") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val quant = Similarity.quantizeInt8(embs, "vec_id", "embedding").cache()
+    // codes are honest int8 and bounded
+    val row = quant.orderBy("id").collect().head
+    val codes = row.getAs[scala.collection.Seq[Byte]]("codes")
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    assert(row.getAs[Double]("scale") > 0)
+    // dequantized values approximate the originals within one quantization step
+    val err = quant
+      .join(embs.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("raw")), "id")
+      .select(aggregate(
+        zip_with(Similarity.dequantizeInt8($"scale", $"codes"), $"raw",
+          (a, b) => abs(a - b) / greatest($"scale", lit(1e-12))),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("steps"))
+      .agg(max($"steps")).as[Double].collect().head
+    assert(err <= 0.5 + 1e-9, s"max quantization error $err steps")
+    // ranking on codes: own vector first, high overlap with exact top-k
+    val exact = Similarity.topKCosine(embs, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect()
+    val int8 = Similarity.topKCosineInt8(quant, q, 10)
+      .select("id").as[Long].collect()
+    assert(int8.head === 7L)
+    val recall = exact.toSet.count(int8.toSet).toDouble / exact.size
+    assert(recall >= 0.7, s"int8 recall $recall")
+    quant.unpersist()
+  }
+
+  test("signature expressions: null/empty/unicode edges") {
+    val df = Seq(
+      (1L, "hello world of spark"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "héllo wörld 中文")).toDF("id", "text")
+    val r = df.select($"id",
+      Dedup.simhash($"text").as("sim"),
+      Dedup.minhashSignature($"text", 3, 8).as("min")).orderBy("id").collect()
+    assert(r(0).getAs[scala.collection.Seq[Long]]("sim").length === 2)
+    assert(r(0).getAs[scala.collection.Seq[Long]]("min").length === 8)
+    // empty text: zero tokens => zero votes => all-zero signature
+    assert(r(1).getAs[scala.collection.Seq[Long]]("sim") === Seq(0L, 0L))
+    // null stays null (NullIntolerant unary expressions)
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2))
+    // multibyte tokens hash deterministically (md5/xxh64 over UTF-8 bytes)
+    val again = df.filter($"id" === 4).select(Dedup.simhash($"text")).collect().head
+    assert(again.getAs[scala.collection.Seq[Long]](0) ===
+      r(3).getAs[scala.collection.Seq[Long]]("sim"))
+  }
+
   test("multimodal batched decode: mapPartitions batch shape, deterministic output") {
     val media = Multimodal.ingest(docs, "doc_id", $"text", "image/fake")
     val decoded = Multimodal.decodeBatched(media, "doc_id", "media", featureDim = 8, batchSize = 32)

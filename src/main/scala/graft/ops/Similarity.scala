@@ -113,14 +113,14 @@ object Similarity {
 
   /** Cell assignment = argmax of raw dot(emb, centroid): centroids are kept
     * unit-norm, and cosine order is invariant to the row's own norm — so no
-    * per-row normalization is needed at assignment time at all. ONE nested
-    * literal for the centroid matrix keeps the Catalyst tree tiny.
-    * Ties take the larger cell index (struct max compares (d, idx)). */
-  def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val cAll = typedlit(centroids)
-    array_max(zip_with(cAll, sequence(lit(0), lit(centroids.size - 1)),
-      (c, i) => struct(dot(emb, c).as("d"), i.as("idx")))).getField("idx")
-  }
+    * per-row normalization is needed at assignment time at all. A native
+    * codegen Expression (functions/NearestCentroid.scala): the assignment is
+    * the ONE full-corpus pass ivfBuildIndex makes, so it must not fall out of
+    * whole-stage codegen the way HOF lambdas do.
+    * Ties take the larger cell index (struct-max parity with the previous
+    * Column shape — the q_ann_ivf oracle depends on it). */
+  def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCentroid(emb, centroids)
 
   private def unit(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -166,11 +166,12 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
-  /** Assign every vector to its cell — ONE codegen'd scan, no shuffle. */
+  /** Assign every vector to its cell — ONE codegen'd scan, no shuffle.
+    * (NearestCentroid reads float or double arrays natively — no cast pass.) */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
       centroids: Seq[Seq[Double]]): DataFrame =
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      nearestCentroid(col(embCol).cast("array<double>"), centroids).as("cell"))
+      nearestCentroid(col(embCol), centroids).as("cell"))
 
   /** Build + persist the index: corpus partitioned by cell (queries
     * partition-prune to their nprobe cells) and centroids as JSON. */

@@ -277,20 +277,33 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** @param dim embedding dimensionality; <= 0 derives it from the first row
+  /** Pairs form only INSIDE a signature bucket: one grouped pass carrying the
+    * vectors (a self-join on sig would re-run the whole signature pipeline on
+    * both sides — DataFrame reuse re-executes the plan). `maxBucket` caps
+    * pathological buckets; at near-1.0 thresholds buckets are tiny clusters of
+    * near-identical vectors.
+    *
+    * @param dim embedding dimensionality; <= 0 derives it from the first row
     *            (one tiny driver action) — a fixed wrong default would
     *            silently truncate signatures on wider corpora. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
     val d = if (dim > 0) dim else df.select(size(col(embCol))).head.getInt(0)
     val planes = hyperplanes(numPlanes, d, seed)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshSignature(col(embCol), planes).as("sig"))
-    val a = v.withColumnsRenamed(Map("id" -> "id_a", "emb" -> "emb_a", "sig" -> "sig_a"))
-    val b = v.withColumnsRenamed(Map("id" -> "id_b", "emb" -> "emb_b", "sig" -> "sig_b"))
-    a.join(b, col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+    v.groupBy("sig")
+      .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i+2, size(xs)),
+             y -> struct(x.id AS id_a, x.emb AS emb_a, y.id AS id_b, y.emb AS emb_b))))"""))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        cosine(col("p.emb_a"), col("p.emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

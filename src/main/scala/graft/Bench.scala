@@ -137,7 +137,9 @@ object Bench {
     }
     val results = (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).collect {
       case (name, fn) if !excluded.contains(name) =>
-        val sec = try time(fn(spark, sfDir).count())
+        // noop sink, not count(): count lets Catalyst prune the projections,
+        // so dump/projection queries would time an empty row-count scan
+        val sec = try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0 }
         name -> sec
     }

@@ -23,8 +23,11 @@ object QueryTimer {
       val fn = SparkEntry.queries(name)
       val secs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val df = fn(spark, sfDir)
+        // count() would let Catalyst PRUNE the expensive projections (CLAUDE.md
+        // gotcha); the noop sink forces full computation of every column
+        df.write.mode("overwrite").format("noop").save()
+        ((System.nanoTime() - t0) / 1e9, df.count())
       }
       println(f"[timer] $name%-22s min=${secs.map(_._1).min}%.3fs rows=${secs.head._2}")
     }

@@ -373,7 +373,8 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 7)
         .select(col("embedding").cast("array<double>")).collect()
         .head.getSeq[Double](0)
-      Similarity.lshTopKCosine(e, "vec_id", "embedding", q, 10, numPlanes = 10, probeHamming = 3)
+      Similarity.lshTopKCosine(e, "vec_id", "embedding", q, 10,
+        numPlanes = 10, probeHamming = LshProbeHamming)
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 

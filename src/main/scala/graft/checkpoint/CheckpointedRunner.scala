@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   */
 object CheckpointedRunner {
 
+  /** Manifest row per completed bucket. `wall_ms` is the wall time of the
+    * (multi-bucket) JOB that completed the bucket — shared by every row of one
+    * run invocation, NOT per-bucket work (buckets complete together in one
+    * write job; summing wall_ms across rows double-counts). */
   val manifestSchema: StructType = StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
     StructField("run_id", StringType),

@@ -174,19 +174,27 @@ case object FTimeUsec extends FType {
 }
 
 /** :map — element-wise key/value cast; any failing entry fails the whole cast
-  * (Ecto map-cast semantics; reference: union.ex:175 type witness). */
+  * (Ecto map-cast semantics; reference: union.ex:175 type witness). Two keys
+  * casting to the SAME output key also fail the cast (a violation row) rather
+  * than tripping spark.sql.mapKeyDedupPolicy=EXCEPTION at runtime.
+  *
+  * Codegen note: map casts are built from HOFs (CodegenFallback), so a schema
+  * containing a :map field runs its validation projection interpreted — the
+  * price of per-entry cast semantics; keep :map fields out of the hottest
+  * schemas or pre-normalize the column upstream. */
 case class FMap(value: FType, key: FType = FString()) extends FType {
   val name = s"map<${key.name},${value.name}>"
   val sparkType: DataType = MapType(key.sparkType, value.sparkType)
   def castExpr(c: Column, in: DataType): Column = in match {
     case mt: MapType =>
       val ks = map_keys(c); val vs = map_values(c)
-      val badK = exists(ks, k => k.isNotNull && key.castExpr(k, mt.keyType).isNull)
-      val badV = exists(vs, v => v.isNotNull && value.castExpr(v, mt.valueType).isNull)
-      when(!coalesce(badK || badV, lit(false)),
-        map_from_arrays(
-          transform(ks, k => key.castExpr(k, mt.keyType)),
-          transform(vs, v => value.castExpr(v, mt.valueType))))
+      val ks2 = transform(ks, k => key.castExpr(k, mt.keyType))
+      val vs2 = transform(vs, v => value.castExpr(v, mt.valueType))
+      // a cast failure shows up as a new null in the casted array
+      val badK = size(filter(ks2, k => k.isNotNull)) < size(filter(ks, k => k.isNotNull))
+      val badV = size(filter(vs2, v => v.isNotNull)) < size(filter(vs, v => v.isNotNull))
+      val dupK = size(array_distinct(ks2)) =!= size(ks2)
+      when(!coalesce(badK || badV || dupK, lit(false)), map_from_arrays(ks2, vs2))
         .otherwise(nullOf)
     case _ => nullOf
   }

@@ -181,25 +181,33 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dups with guaranteed recall: band into maxHamming+1 disjoint
-    * chunks (pigeonhole), bucket-join, verify exact hamming. Output is exactly
-    * { (a,b) : hamming(sig_a, sig_b) <= maxHamming } — brute-force-equivalent,
-    * at banded-join cost. */
-  def simhashNearDups(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
-    // The signature travels WITH the banding rows (16 bytes/row): it is
-    // computed exactly once per doc and verified straight off the bucket —
-    // joining a sigs DataFrame back would re-run the whole md5+vote pipeline
-    // per join side (DataFrame reuse re-executes the plan).
+  /** Banding rows for [[simhashNearDups]]: (id, sig, band_idx, band_hash).
+    * The signature travels WITH the banding rows (16 bytes/row): it is
+    * computed exactly once per doc and verified straight off the bucket —
+    * joining a sigs DataFrame back would re-run the whole md5+vote pipeline
+    * per join side (DataFrame reuse re-executes the plan). */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunks = simhashChunks(maxHamming).zipWithIndex.map { case ((w, off, width), bi) =>
       val word = element_at(col("sig"), w + 1)
       struct(lit(bi).as("band_idx"),
         shiftright(word, off).bitwiseAND(lit((1L << width) - 1)).as("band_hash"))
     }
-    val bands = sigs.select(col("id"), col("sig"), explode(array(chunks: _*)).as("b"))
+    sigs.select(col("id"), col("sig"), explode(array(chunks: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.band_idx"), col("b.band_hash"))
+  }
+
+  /** SimHash near-dups with guaranteed recall: band into maxHamming+1 disjoint
+    * chunks (pigeonhole), bucket-join, verify exact hamming. Output is exactly
+    * { (a,b) : hamming(sig_a, sig_b) <= maxHamming } for every bucket within
+    * `maxBucket`; buckets beyond the cap (degenerate corpora — e.g. thousands
+    * of empty docs all at signature [0,0]) are EXCLUDED, not OOM'd — audit
+    * them with `oversizeBuckets(simhashBands(...), maxBucket)` before trusting
+    * full recall on such data. */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val bands = simhashBands(df, idCol, textCol, maxHamming)
     bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))

@@ -135,8 +135,10 @@ object Similarity {
   def ivfTrain(
       df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3,
       sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    // order by the RAW id column (any orderable type — an ANSI cast to long
+    // would throw on string ids and truncate doubles)
     val sample = df
-      .select(col(idCol).cast(LongType).as("id"), col(embCol).cast("array<double>").as("e"))
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
       .orderBy("id").limit(math.max(sampleSize, k))
       .collect().map(r => r.getSeq[Double](1).toArray)
     require(sample.length >= k, s"need >= $k vectors to train $k cells")
@@ -290,7 +292,9 @@ object Similarity {
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
       numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
-    val d = if (dim > 0) dim else df.select(size(col(embCol))).head.getInt(0)
+    val d = if (dim > 0) dim
+      else df.select(size(col(embCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus => empty pairs
     val planes = hyperplanes(numPlanes, d, seed)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshSignature(col(embCol), planes).as("sig"))

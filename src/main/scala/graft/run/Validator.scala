@@ -74,7 +74,9 @@ final case class ValidationResult(
       val structs = bad.map { row =>
         val vs = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
         val parts = names.map { f =>
-          val errs = vs.filter(_.getString(0).startsWith(s"$f.")).map(_.getString(1))
+          // embeds_many constraint ids are "name[idx].field.kind" — match both
+          val errs = vs.filter(v => v.getString(0).startsWith(s"$f.") ||
+            v.getString(0).startsWith(s"$f[")).map(_.getString(1))
           if (errs.nonEmpty) s"$f: [${errs.map(e => "\"" + e + "\"").mkString(", ")}]"
           else s"$f: ${inspect(row.getAs[Any](f))}"
         }

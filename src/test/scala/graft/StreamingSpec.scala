@@ -59,8 +59,13 @@ class StreamingSpec extends SparkSpec {
       input.addData((4L, "alpha"), (5L, "gamma"))               // 4 dups 1 cross-batch
       q1.processAllAvailable(); q2.processAllAvailable()
 
+      // streaming dropDuplicates keeps whichever in-batch duplicate reaches the
+      // state store first — assert the SET of surviving texts, not which of the
+      // two batch-1 "alpha" rows won (that order is not guaranteed)
       val keptIds = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
-      assert(keptIds === Set(1L, 2L, 5L))
+      assert(keptIds.size === 3)
+      assert(keptIds.contains(2L) && keptIds.contains(5L))
+      assert(keptIds.contains(1L) || keptIds.contains(3L))
 
       val events = spark.table("audit_sink")
         .select("id", "keep", "dup_count").as[(Long, Boolean, Long)].collect().toSet

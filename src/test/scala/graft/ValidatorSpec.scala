@@ -333,6 +333,13 @@ class ValidatorSpec extends SparkSpec {
     val good = r.coerced.filter(col("id") === 1)
       .select(element_at(col("attrs"), "a")).as[Long].collect().head
     assert(good === 1L)
+    // two keys casting to the SAME output key => cast violation, not a
+    // mapKeyDedupPolicy=EXCEPTION crash
+    val dupSpec = SchemaSpec("s", Seq(Field.map("attrs", FString(), key = FInteger)),
+      keyColumns = Seq("id"))
+    val dupDf = Seq((1, Map("1" -> "x", "01" -> "y"))).toDF("id", "attrs")
+    assert(viols(Validator.validate(dupSpec, dupDf)) ===
+      Set(("1", "attrs.cast", "is invalid")))
   }
 
   test(":time / :time_usec: canonical cast, invalid wall-clock rejected (union.ex:169-170)") {

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** dot(a, b) in double precision as ONE JITed static call. The Column shape
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is CodegenFallback with
+  * per-element interpreted lambdas — at 10^8+ vectors the brute-force cosine
+  * baseline scan would be interpretation-bound. Accumulation is left-to-right
+  * in doubles, bit-identical to the previous fold (the ANN oracles depend on
+  * it: DuckDB's list_dot_product accumulates the same way).
+  *
+  * Null semantics match the old fold: null input array => null; arrays of
+  * different lengths use the common prefix (the fold produced null there via
+  * zip_with padding — callers always pass equal dims; prefix keeps it total). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<double|float> x array<double|float>, got " +
+        s"${left.dataType.catalogString} x ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  // resolved-only: never read child dataTypes at construction time
+  private def lFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DotProduct.compute($a, $b, $lFloat, $rFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Static so generated code can call it. */
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def apply(a: Column, b: Column): Column =
+    graftbridge.toColumn(DotProduct(graftbridge.toExpression(a), graftbridge.toExpression(b)))
+}

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision (stable across engines vs float accum). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision (stable across engines vs float accum) —
+    * a native codegen Expression: the brute-force cosine baseline is a
+    * full-corpus scan, and the aggregate/zip_with fold it replaced ran
+    * interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -260,7 +261,8 @@ object Similarity {
   def topKCosineInt8(quantized: DataFrame, query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     rankTopK(
-      quantized.select(col("id"), cosine(col("codes"), q).as("cosine"))
+      quantized.select(col("id"),
+        cosine(col("codes").cast("array<double>"), q).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
         .limit(k))
   }

@@ -95,6 +95,10 @@ class PlanSpec extends SparkSpec {
     val q = (0 until 64).map(_ => 0.1)
     val p = plan(graft.ops.Similarity.topKCosine(e, "vec_id", "embedding", q, 10))
     assert(p.contains("TakeOrderedAndProject"), p)
+    // the cosine projection itself is codegen'd (native DotProduct — the HOF
+    // fold it replaced was CodegenFallback and would strip the *(n) marker)
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"cosine projection not codegen'd:\n$p")
   }
 
   test("minhash/simhash signature projections stay inside whole-stage codegen") {

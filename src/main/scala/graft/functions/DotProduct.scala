@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * in doubles, bit-identical to the previous fold (the ANN oracles depend on
   * it: DuckDB's list_dot_product accumulates the same way).
   *
-  * Null semantics match the old fold: null input array => null; arrays of
-  * different lengths use the common prefix (the fold produced null there via
-  * zip_with padding — callers always pass equal dims; prefix keeps it total). */
+  * Null semantics: null input array => null; arrays of different lengths use
+  * the common prefix (the old fold produced null there via zip_with padding —
+  * callers always pass equal dims; prefix keeps it total). Null ELEMENTS
+  * inside an array read as 0 — the embedding contract is dense vectors (the
+  * fold would have nulled the whole dot instead). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {

@@ -73,6 +73,15 @@ class OpsSpec extends SparkSpec {
     assert(exactPairs.subsetOf(found))
   }
 
+  test("oversizeBuckets audits what candidatePairs drops at the same cap") {
+    val bands = Dedup.simhashBands(dupDocs, "doc_id", "text", maxHamming = 3)
+    // a cap of 1 makes EVERY >=2 bucket oversize: pairs empty, audit non-empty
+    assert(Dedup.candidatePairs(bands, maxBucket = 1).count() === 0)
+    val over = Dedup.oversizeBuckets(bands, maxBucket = 1)
+    assert(over.count() > 0)
+    assert(over.agg(min($"bucket_size")).as[Long].collect().head >= 2)
+  }
+
   test("simhash banding guarantee: banded pairs == brute-force pairs (maxHamming=15)") {
     // pigeonhole: maxHamming+1 disjoint covering chunks => recall 1.0 at ANY
     // radius (the round-1 fixed 4x16 banding silently missed distance > 3)

@@ -725,14 +725,14 @@ object SparkEntry {
       FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
 
     // Int8 quantization recomputed verbatim: scale = max|x|/127, codes =
-    // round(x*127/max|x|); ranking runs on the codes (scale cancels).
+    // round(x*127/max|x|); ranking runs on the codes (scale cancels). All-zero
+    // vectors (m = 0) are excluded on both sides: cosine 0/0 is NaN.
     "q_ann_int8" -> """
       WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       mx AS (SELECT vec_id, e, greatest(list_max(e), -list_min(e)) AS m FROM ev),
       qz AS (SELECT vec_id,
-                    CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
-                         ELSE list_transform(e, x -> round(x * 127.0 / m)) END AS codes
-             FROM mx),
+                    list_transform(e, x -> round(x * 127.0 / m)) AS codes
+             FROM mx WHERE m <> 0),
       q AS (SELECT e AS qv FROM ev WHERE vec_id = 7),
       scored AS (SELECT vec_id,
                         list_cosine_similarity(codes, (SELECT qv FROM q)) AS sim

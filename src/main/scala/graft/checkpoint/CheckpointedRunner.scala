@@ -90,7 +90,18 @@ object CheckpointedRunner {
     val in = staged.filter(col("bucket").isin(pending: _*))
     val bucketOf =
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast(IntegerType)
-    val out = process(in.drop("bucket")).withColumn("bucket", bucketOf)
+    // Guard the re-derived bucket INSIDE the write job (zero extra passes):
+    // if process() altered or re-mapped key values, a row would hash to a
+    // non-pending bucket and the dynamic partition overwrite would silently
+    // replace a COMPLETED bucket's committed output with partial data. A
+    // per-row raise_error fails the write job before its commit (and before
+    // the manifest append), so completed buckets stay intact.
+    val guardedBucket = when(bucketOf.isin(pending: _*), bucketOf)
+      .otherwise(raise_error(concat(
+        lit("CheckpointedRunner: process() emitted a row whose keys map to non-pending bucket "),
+        bucketOf.cast(StringType),
+        lit(s" (pending: ${pending.mkString(",")}) — its output must retain the staged key columns"))))
+    val out = process(in.drop("bucket")).withColumn("bucket", guardedBucket)
     out
       .repartition(math.max(pending.size, 1), col("bucket"))
       .sortWithinPartitions((col("bucket") +: sortCols.map(col)): _*)

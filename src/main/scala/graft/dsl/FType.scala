@@ -143,6 +143,20 @@ case object FUtcDatetime extends FType {
   override def dumpExpr(c: Column): Column = c.cast(StringType)
 }
 
+/** Shared wall-clock string parsing for :time/:time_usec. Spark's pattern
+  * fraction section `[.SSSSSS]` is width-exact, but Ecto's Time.cast accepts
+  * 1..6 fractional digits ("13:45:02.123" => 123000 usec) and truncates
+  * beyond 6 — normalize the fraction to exactly 6 digits before parsing. */
+private[dsl] object TimeParse {
+  def parse(c: Column): Column = {
+    val frac = regexp_extract(c, "\\.(\\d+)$", 1)
+    val norm = when(frac === "", c).otherwise(concat(
+      regexp_replace(c, "\\.\\d+$", ""), lit("."),
+      rpad(substring(frac, 1, 6), 6, "0")))
+    try_to_timestamp(concat(lit("1970-01-01 "), norm), lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
+  }
+}
+
 /** :time — seconds precision (Ecto :time; reference: lib/flint/types/union.ex:169
   * witness). Spark 4's TIME type is config-gated off by default, so values are
   * canonical "HH:mm:ss" STRINGS: ordering, grouping, and round-trips all hold,
@@ -151,10 +165,8 @@ case object FUtcDatetime extends FType {
 case object FTime extends FType {
   val name = "time"
   val sparkType: DataType = StringType
-  private def parse(c: Column): Column =
-    try_to_timestamp(concat(lit("1970-01-01 "), c), lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
   def castExpr(c: Column, in: DataType): Column = in match {
-    case _: StringType                          => date_format(parse(c), "HH:mm:ss")
+    case _: StringType                          => date_format(TimeParse.parse(c), "HH:mm:ss")
     case _: TimestampType | _: TimestampNTZType => date_format(c, "HH:mm:ss")
     case _                                      => nullOf
   }
@@ -164,10 +176,8 @@ case object FTime extends FType {
 case object FTimeUsec extends FType {
   val name = "time_usec"
   val sparkType: DataType = StringType
-  private def parse(c: Column): Column =
-    try_to_timestamp(concat(lit("1970-01-01 "), c), lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
   def castExpr(c: Column, in: DataType): Column = in match {
-    case _: StringType                          => date_format(parse(c), "HH:mm:ss.SSSSSS")
+    case _: StringType                          => date_format(TimeParse.parse(c), "HH:mm:ss.SSSSSS")
     case _: TimestampType | _: TimestampNTZType => date_format(c, "HH:mm:ss.SSSSSS")
     case _                                      => nullOf
   }
@@ -293,9 +303,20 @@ case class FUnion(branches: Seq[FType], lazyInfer: Boolean = false) extends FTyp
       }: _*)).otherwise(nullOf)
   }
 
-  /** dump: first non-null branch, stringified (scalar branches identity-ish). */
+  /** dump: first non-null branch via ITS OWN dumper (reference routes composite
+    * branches through their dumper, union.ex:93-107). The union dump column is
+    * a string; scalar branch dumps cast losslessly, composite branch dumps
+    * (array/map/nested union) are JSON-encoded — `[1,2]`, not a Scala
+    * stringification of the internal value. */
   override def dumpExpr(c: Column): Column =
-    coalesce(branches.zipWithIndex.map { case (b, i) => b.dumpExpr(c.getField(s"b$i")).cast(StringType) }: _*)
+    coalesce(branches.zipWithIndex.map { case (b, i) =>
+      val d = b.dumpExpr(c.getField(s"b$i"))
+      b match {
+        // a nested FUnion's own dumpExpr already yields a string
+        case _: FArray | _: FMap => to_json(d)
+        case _                   => d.cast(StringType)
+      }
+    }: _*)
 
   /** Which branch name a cast value took, e.g. "integer"/"float". */
   def branchName(c: Column): Column = {

@@ -15,11 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * in doubles, bit-identical to the previous fold (the ANN oracles depend on
   * it: DuckDB's list_dot_product accumulates the same way).
   *
-  * Null semantics: null input array => null; arrays of different lengths use
-  * the common prefix (the old fold produced null there via zip_with padding —
-  * callers always pass equal dims; prefix keeps it total). Null ELEMENTS
-  * inside an array read as 0 — the embedding contract is dense vectors (the
-  * fold would have nulled the whole dot instead). */
+  * Null semantics: null input array => null; arrays of DIFFERENT LENGTHS =>
+  * null — a truncated/corrupt embedding must surface as a null/violation, not
+  * rank normally on a plausible common-prefix dot (zip_with-fold parity).
+  * Null ELEMENTS inside an array read as 0 — the embedding contract is dense
+  * vectors (the fold would have nulled the whole dot instead). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {
@@ -32,6 +32,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"dot_product expects array<double|float> x array<double|float>, got " +
         s"${left.dataType.catalogString} x ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch, even for non-null inputs
   override def prettyName: String = "dot_product"
 
   // resolved-only: never read child dataTypes at construction time
@@ -40,12 +41,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def rFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else DotProduct.compute(x, y, lFloat, rFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.DotProduct.compute($a, $b, $lFloat, $rFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b, $lFloat, $rFloat);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** ONE shared default bucket cap for every LSH-bucketed path (candidate
+    * generation, the oversize audit, simhash, embedding LSH) — an audit run at
+    * a different cap than the dedup call would report buckets that were not
+    * actually dropped, undermining the no-silent-caps contract. */
+  val DefaultMaxBucket: Int = 10000
+
   // --------------------------------------------------------------------------
   // Exact dedup (hash-groupBy on content digest)
   // --------------------------------------------------------------------------
@@ -68,7 +74,7 @@ object Dedup {
     * `maxBucket` cap: (band_idx, band_hash, bucket_size). No-silent-caps
     * companion — run it alongside candidatePairs to audit what was dropped
     * (shares the same banded aggregate shape, so it's one extra cheap pass). */
-  def oversizeBuckets(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
+  def oversizeBuckets(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
     bands.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
@@ -77,7 +83,7 @@ object Dedup {
     * pathological buckets (boilerplate); those buckets are EXCLUDED here —
     * audit them with [[oversizeBuckets]] (same cap) rather than assuming
     * full coverage. */
-  def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
+  def candidatePairs(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
     bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -206,7 +212,7 @@ object Dedup {
     * full recall on such data. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = simhashBands(df, idCol, textCol, maxHamming)
     bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))

@@ -257,12 +257,16 @@ object Similarity {
   def dequantizeInt8(scale: Column, codes: Column): Column =
     transform(codes, c => c.cast(DoubleType) * scale)
 
-  /** Top-k cosine directly over int8 codes (no dequantization — scale cancels). */
+  /** Top-k cosine directly over int8 codes (no dequantization — scale cancels).
+    * Rows quantized from all-zero vectors (scale 0, codes all 0) are excluded:
+    * their cosine is 0/0 = NaN, and Spark orders NaN ABOVE all doubles
+    * descending — zero vectors would otherwise occupy the top-k ranks. */
   def topKCosineInt8(quantized: DataFrame, query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     rankTopK(
-      quantized.select(col("id"),
-        cosine(col("codes").cast("array<double>"), q).as("cosine"))
+      quantized.filter(col("scale") =!= 0.0)
+        .select(col("id"),
+          cosine(col("codes").cast("array<double>"), q).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
         .limit(k))
   }
@@ -293,7 +297,7 @@ object Similarity {
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
       numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val d = if (dim > 0) dim
       else df.select(size(col(embCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus => empty pairs

@@ -85,6 +85,31 @@ class CheckpointSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("process() that re-maps key values fails fast — never overwrites a completed bucket") {
+    val root = tmp()
+    val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"
+    CheckpointedRunner.stage(CodeTable.generate(spark, 2000), Seq("repo", "path"), numBuckets, staging)
+    // complete buckets 0..2
+    CheckpointedRunner.run(spark, staging, m, out, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "good", keyCols = Seq("repo", "path"),
+      maxBuckets = 3)
+    val committed = spark.read.parquet(out).count()
+    // a broken process() that rewrites the key: rows hash to arbitrary (often
+    // completed) buckets — the run must fail BEFORE the write commits
+    val broken: DataFrame => DataFrame =
+      in => process(in).withColumn("path", concat(lit("REMAPPED/"), col("path")))
+    val ex = intercept[Exception] {
+      CheckpointedRunner.run(spark, staging, m, out, numBuckets,
+        broken, Seq("repo", "path", "constraint_id"), runId = "bad", keyCols = Seq("repo", "path"))
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("non-pending bucket")), msgs.mkString(" | "))
+    // committed output intact, manifest unchanged (still 3 buckets done)
+    assert(spark.read.parquet(out).count() === committed)
+    assert(CheckpointedRunner.completedBuckets(spark, m) === Set(0, 1, 2))
+  }
+
   test("staged layout partition-prunes: per-bucket read touches one directory") {
     val root = tmp()
     val staging = s"$root/staging"

@@ -242,6 +242,30 @@ class OpsSpec extends SparkSpec {
     quant.unpersist()
   }
 
+  test("dot product: mismatched-length arrays yield null (corrupt embedding surfaces)") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)), // truncated => null, not a prefix dot
+      (3L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("id", "a", "b")
+    val r = df.select($"id", Similarity.dot($"a", $"b").as("d")).orderBy("id").collect()
+    assert(r(0).getAs[Double]("d") === 14.0)
+    assert(r(1).isNullAt(1) && r(2).isNullAt(1))
+  }
+
+  test("int8 search: all-zero vectors are excluded, never NaN-ranked into top-k") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val dim = q.size
+    val withZero = embs.select($"vec_id", $"embedding")
+      .unionAll(spark.range(1).select(lit(99999L).as("vec_id"),
+        array_repeat(lit(0.0f), dim).as("embedding")))
+    val quant = Similarity.quantizeInt8(withZero, "vec_id", "embedding")
+    assert(quant.filter($"id" === 99999L).select($"scale").as[Double].collect().head === 0.0)
+    val top = Similarity.topKCosineInt8(quant, q, 10).select("id").as[Long].collect()
+    assert(top.head === 7L)
+    assert(!top.contains(99999L)) // NaN would have sorted ABOVE every real cosine
+  }
+
   test("signature expressions: null/empty/unicode edges") {
     val df = Seq(
       (1L, "hello world of spark"),

@@ -404,6 +404,50 @@ class ValidatorSpec extends SparkSpec {
     assert(ex2.getMessage === """%p{age: ["must be greater than 100"]}""")
   }
 
+  test(":time/:time_usec accept 1-6 digit fractions and truncate beyond (Ecto Time.cast)") {
+    val df = Seq(
+      (1, "13:45:02"),          // no fraction
+      (2, "13:45:02.1"),        // 1 digit -> .100000
+      (3, "13:45:02.123"),      // 3 digits -> .123000
+      (4, "13:45:02.123456"),   // exactly 6
+      (5, "13:45:02.1234567"),  // 7 digits -> truncated to 6 (Elixir Time parse)
+      (6, "25:00:00.5")         // invalid wall clock -> violation
+    ).toDF("id", "t")
+    val spec = SchemaSpec("e",
+      Seq(FieldSpec("t", FTime), FieldSpec("tu", FTimeUsec, inputColumn = Some("t"))),
+      keyColumns = Seq("id"))
+    val r = Validator.validate(spec, df)
+    val rows = r.coerced.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("t")).toSeq === Seq(
+      "13:45:02", "13:45:02", "13:45:02", "13:45:02", "13:45:02", null))
+    assert(rows.map(_.getAs[String]("tu")).toSeq === Seq(
+      "13:45:02.000000", "13:45:02.100000", "13:45:02.123000",
+      "13:45:02.123456", "13:45:02.123456", null))
+    assert(viols(r) === Set(
+      ("6", "t.cast", "is invalid"), ("6", "tu.cast", "is invalid")))
+  }
+
+  test("union composite-branch dump: array branch dumps as a dumped array, not a stringified struct") {
+    // reference routes composite branches through their own dumper (union.ex:93-107)
+    val u = FUnion(Seq(FArray(FInteger), FString()))
+    val spec = SchemaSpec("u", Seq(Field.of("v", u)), keyColumns = Seq("id"))
+    val df = Seq(
+      (1, Seq("1", "2", "3")),
+      (2, Seq("4", "x"))) // element cast fails => array branch null => no branch
+      .toDF("id", "v")
+    val r = Validator.validate(spec, df)
+    val dumped = r.annotated.select($"id", u.dumpExpr($"v").as("d")).orderBy("id").collect()
+    assert(dumped(0).getAs[String]("d") === "[1,2,3]")
+    assert(dumped(1).isNullAt(1)) // no branch casts a mixed array
+    // enum dump nested in a union dumps its mapped value, string branch stays raw
+    val u2 = FUnion(Seq(FEnum(Seq("en" -> 0, "es" -> 1)), FArray(FFloat)))
+    val spec2 = SchemaSpec("u2", Seq(Field.of("v", u2)), keyColumns = Seq("id"))
+    val df2 = Seq((1, "es")).toDF("id", "v")
+    val d2 = Validator.validate(spec2, df2).annotated
+      .select(u2.dumpExpr($"v")).collect().head.getString(0)
+    assert(d2 === "1")
+  }
+
   test("summary: per-partition and grouped pass/fail counts (N3)") {
     val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
     val df = spark.range(100).select($"id", ($"id" % 20).as("n"))

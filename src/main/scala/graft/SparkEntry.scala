@@ -278,6 +278,64 @@ object SparkEntry {
         u.dumpExpr(col("v")).as("dumped"))
     }),
 
+    // ---- C7 union LAZY (type-preserving) vs eager: same input, different branch order ------------------
+    // Lazy tries the branch matching the input's NATIVE type first (union.ex:80-90,
+    // :168-183 inference witnesses): string input => the string branch wins even
+    // when an integer branch is declared first; eager takes declaration order.
+    "q_union_lazy" -> ((s, dir) => {
+      val uLazy = FUnion(Seq(FInteger, FString()), lazyInfer = true)
+      val uEager = FUnion(Seq(FInteger, FString()))
+      val spec = SchemaSpec("u", Seq(
+        Field.of("vl", uLazy).from("v"),
+        Field.of("ve", uEager).from("v")),
+        keyColumns = Seq("event_id"))
+      val df = t(s, dir, "events").withColumn("v",
+        when(col("event_id") % 3 === 0, (col("event_id") % 100).cast("string"))
+          .otherwise(concat(lit("w"), (col("event_id") % 10).cast("string"))))
+      val r = Validator.validate(spec, df)
+      r.annotated.select(
+        col("event_id"),
+        uLazy.branchName(col("vl")).as("branch_lazy"),
+        uEager.branchName(col("ve")).as("branch_eager"),
+        uLazy.dumpExpr(col("vl")).as("dumped"))
+    }),
+
+    // ---- C11 parameterized custom type (FTypeTemplate + FCustom cast/dump overrides) -------------------
+    // The README NewUID example (README.md:110-116): a custom type extending
+    // :string whose dump is &String.length/1; the template's default params are
+    // merged under call-site overrides (lib/type.ex init/1).
+    "q_custom_type" -> ((s, dir) => {
+      val NewUID = FTypeTemplate("new_uid", Map("prefix" -> "uid-"), p => {
+        val prefix = p("prefix").toString
+        FCustom("new_uid", FString(),
+          castOverride = Some((c, in) => in match {
+            case _: org.apache.spark.sql.types.StringType =>
+              when(c.startsWith(prefix), c).otherwise(lit(null).cast("string"))
+            case _ => lit(null).cast("string")
+          }),
+          dumpOverride = Some(c => length(c).cast("long")))
+      })
+      val spec = SchemaSpec("d",
+        Seq(Field.of("uid", NewUID("prefix" -> "doc-"))), keyColumns = Seq("doc_id"))
+      val df = t(s, dir, "documents").withColumn("uid",
+        when(col("doc_id") % 7 === 0, concat(lit("bad-"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("doc-"), col("doc_id").cast("string"))))
+      val r = Validator.validate(spec, df)
+      Validator.dump(spec, r.coerced).select(col("doc_id"), col("uid").as("uid_len"))
+    }),
+
+    // ---- X3 block pass-clause reset quirk ----------------------------------------------------------------
+    // A later truthy clause whose expression evaluates to nil RESETS earlier
+    // same-field block errors (block.ex:80-82).
+    "q_block_reset" -> ((s, dir) => {
+      val spec = SchemaSpec("documents", Seq(
+        Field.integer("n_chars").blockClauses(
+          BlockClause.failWhen(ctx => ctx("n_chars") < 200, "too short"),
+          BlockClause(ctx => ctx("n_chars") % 2 === 0, _ => lit(null).cast("string")))),
+        keyColumns = Seq("doc_id"))
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
     // ---- E1 full pipeline (flagship) --------------------------------------------------------------------
     "q_validate_documents" -> ((s, dir) =>
       Validator.validate(flagshipSchema, docsDirty(s, dir)).violations),
@@ -585,6 +643,24 @@ object SparkEntry {
                      ELSE lpad(CAST(event_id % 30 AS VARCHAR), 2, '0') || ':15:' ||
                           lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') END AS t
          FROM events""",
+
+    "q_union_lazy" ->
+      """SELECT event_id,
+                'string' AS branch_lazy,
+                CASE WHEN event_id % 3 = 0 THEN 'integer' ELSE 'string' END AS branch_eager,
+                CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS VARCHAR)
+                     ELSE 'w' || CAST(event_id % 10 AS VARCHAR) END AS dumped
+         FROM events""",
+
+    "q_custom_type" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE CAST(length('doc-' || CAST(doc_id AS VARCHAR)) AS BIGINT) END AS uid_len
+         FROM documents""",
+
+    "q_block_reset" ->
+      """SELECT doc_id, 'n_chars.block.1' AS constraint_id, 'too short' AS reason
+         FROM documents WHERE n_chars < 200 AND n_chars % 2 <> 0""",
 
     "q_validate_documents" -> flagshipOracleUnion,
 

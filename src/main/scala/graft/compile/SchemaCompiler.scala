@@ -18,20 +18,12 @@ import org.apache.spark.sql.types._
   */
 object SchemaCompiler {
 
-  val ViolStruct: DataType =
-    StructType(Seq(StructField("constraint_id", StringType), StructField("reason", StringType)))
+  val ViolStruct: DataType = Viols.ViolStruct
 
-  private def emptyViols: Column = array().cast(ArrayType(ViolStruct))
+  private def emptyViols: Column = Viols.empty
 
-  private def entry(cid: Column, reason: Column): Column =
-    struct(cid.as("constraint_id"), reason.as("reason"))
-
-  /** One violation wrapped as a 0/1-element array for uniform concat.
-    * Deliberately NOT a higher-order function (filter/lambda) — HOFs are
-    * CodegenFallback in Spark and would evict the whole projection from
-    * whole-stage codegen; when/array/concat stay codegen'd. */
   private def entryArr(fire: Column, cid: Column, reason: Column): Column =
-    when(coalesce(fire, lit(false)), array(entry(cid, reason))).otherwise(emptyViols)
+    Viols.entryArr(fire, cid, reason)
 
   /** Resolve a raw input column + its Spark type; None type == column absent. */
   type Resolver = String => (Column, Option[DataType])
@@ -50,10 +42,10 @@ object SchemaCompiler {
     }
   }
 
-  /** A scalar violation trigger: fires -> one (constraint_id, reason) entry.
-    * Kept unmaterialized so the hot path can OR all the fire conditions first
-    * and only build arrays for rows that actually violate something. */
-  case class Trigger(fire: Column, cid: Column, reason: Column)
+  /** A scalar violation trigger (moved to graft.dsl so user [[RulePack]]s can
+    * emit them); aliased here for source compatibility. */
+  type Trigger = graft.dsl.Trigger
+  val Trigger = graft.dsl.Trigger
 
   /** Core recursive compile over one record scope (top-level row or embedded
     * struct). Returns final values for all fields + scalar violation triggers
@@ -116,65 +108,23 @@ object SchemaCompiler {
 
     def ctx: Ctx = Ctx(values, allBindings)
 
-    // ---- stage 3: Block (runs before derive — 0.6.0 order) ----------------
-    // X3 quirk: a passing truthy clause resets earlier same-field block errors
-    // (reference: lib/flint/extensions/block.ex:80-82).
-    for ((f, c) <- casted if f.block.nonEmpty && spec.packEnabled(RulePacks.Block)) {
-      val blockArr = f.block.zipWithIndex.foldLeft(emptyViols) { case (acc, (cl, i)) =>
-        val cond = cl.cond(ctx)
-        val msg = cl.result(ctx)
-        val cid = concat(prefix, lit(s"${f.name}.block.${i + 1}"))
-        val genericReason =
-          lit(s"Error evaluating expression in Clause #${i + 1} of `do:` block")
-        when(cond.isNull, array_append(acc, entry(cid, genericReason)))
-          .when(cond,
-            when(msg.isNull, emptyViols)                    // pass => reset (X3)
-              .otherwise(array_append(acc, entry(cid, msg))))
-          .otherwise(acc)
+    // ---- stages 3..N: the rule-pack pipeline --------------------------------
+    // Built-ins (block -> derive -> when -> validators -> map, the reference's
+    // 0.6.0 fold order incl. the Block-before-derive quirk, SURVEY §3) plus any
+    // user-registered packs, each in SchemaSpec.packs declaration order. A
+    // pack's value rewrites land AFTER its whole field sweep (every field of
+    // one stage sees the same pre-stage snapshot via `ctx`, matching the
+    // reference's per-extension changeset fold).
+    for (pack <- spec.enabledPacks) {
+      var newValues = values
+      for ((f, c) <- casted) {
+        val res = pack(spec, f, RulePack.FieldState(values(f.name), c.inChanges), ctx, prefix)
+        triggers = triggers ++ res.triggers
+        viols = viols ++ res.violArrays
+        res.newValue.foreach(v => newValues = newValues + (f.name -> v))
       }
-      viols = viols :+ when(c.inChanges, blockArr).otherwise(emptyViols)
+      values = newValues
     }
-
-    // ---- stage 4: derive (P1) ---------------------------------------------
-    // code-as-written gates on membership in changes (pre_transforms.ex:61-69);
-    // deriveAlways exposes the documented always-derive behavior (SURVEY §1.3).
-    val postDerive = casted.map { case (f, c) =>
-      f.name -> (f.derive match {
-        case Some(_) if !spec.packEnabled(RulePacks.PreTransforms) => values(f.name)
-        case Some(e) if spec.deriveAlways => e(ctx)
-        case Some(e)                      => when(c.inChanges, e(ctx)).otherwise(values(f.name))
-        case None                         => values(f.name)
-      })
-    }.toMap
-    values = postDerive
-
-    // ---- stage 5: when (X1) -----------------------------------------------
-    // falsy OR eval-failure (null) => "Failed `:when` validation"
-    // (reference: lib/flint/extensions/when.ex:42-83).
-    for ((f, c) <- casted if spec.packEnabled(RulePacks.When); rule <- f.whenRule) {
-      triggers = triggers :+ Trigger(
-        c.inChanges && !coalesce(rule(ctx), lit(false)),
-        concat(prefix, lit(s"${f.name}.when")), lit("Failed `:when` validation"))
-    }
-
-    // ---- stage 6: validators (V1-V16) -------------------------------------
-    // Ecto validators skip nil values; one violation row per failed validator.
-    for ((f, c) <- casted if spec.packEnabled(RulePacks.EctoValidations); v <- f.validators) {
-      val value = values(f.name)
-      triggers = triggers :+ Trigger(
-        c.inChanges && value.isNotNull && !coalesce(v.pred(value, ctx), lit(false)),
-        concat(prefix, lit(s"${f.name}.${v.kind}")), v.reason(value, ctx))
-    }
-
-    // ---- stage 7: map (P2) -------------------------------------------------
-    val postMap = casted.map { case (f, c) =>
-      f.name -> (f.mapFn match {
-        case Some(_) if !spec.packEnabled(RulePacks.PostTransforms) => values(f.name)
-        case Some(e) => when(c.inChanges, e(ctx)).otherwise(values(f.name))
-        case None    => values(f.name)
-      })
-    }.toMap
-    values = postMap
 
     // ---- embeds (C4): recurse ----------------------------------------------
     for (e <- spec.embeds) {

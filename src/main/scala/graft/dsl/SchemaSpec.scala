@@ -273,9 +273,10 @@ case class EmbedSpec(
   def jsonKey: String = jsonName.getOrElse(name)
 }
 
-/** Rule-pack registry: each pack is one changeset-time stage, mirroring the
-  * reference's extension pipeline and its declaration order
-  * (reference: lib/flint.ex:12-24 default_extensions). */
+/** Built-in rule-pack names, mirroring the reference's default extension
+  * pipeline and its declaration order (reference: lib/flint.ex:12-24
+  * default_extensions). The packs themselves are [[RulePack]] instances
+  * (dsl/RulePack.scala) — users register their own via `SchemaSpec.packs`. */
 object RulePacks {
   val Block = "block"
   val PreTransforms = "pre_transforms"   // :derive
@@ -310,24 +311,46 @@ case class SchemaSpec(
     /** P7: schema-level attributes (Embedded extension: primary_key,
       * schema_prefix, ... — reflectable metadata, no runtime behavior;
       * reference: lib/flint/extensions/embedded.ex:24-27). */
-    attributes: Map[String, Any] = Map.empty) {
+    attributes: Map[String, Any] = Map.empty,
+    /** The changeset pipeline, in execution order: the five built-ins plus any
+      * user-registered [[RulePack]]s (the reference's `use Flint.Schema,
+      * extensions: [...]`, lib/extension.ex:238-272). `only`/`except` filter
+      * this list by pack name. */
+    packs: Seq[RulePack] = RulePack.defaults) {
   require(fields.nonEmpty || embeds.nonEmpty, s"schema $name has no fields")
   require(only.isEmpty || except.isEmpty,
     "only one of `only` or `except` may be given") // reference: lib/flint.ex:9-10
-  private val unknownPack = (only.toSeq.flatten ++ except.toSeq.flatten).filterNot(RulePacks.All.contains)
+  private val packNames = packs.map(_.name)
+  require(packNames.distinct.size == packNames.size,
+    s"duplicate rule pack(s): ${packNames.diff(packNames.distinct).mkString(",")}")
+  private val unknownPack = (only.toSeq.flatten ++ except.toSeq.flatten).filterNot(packNames.contains)
   require(unknownPack.isEmpty, s"unknown rule pack(s): ${unknownPack.mkString(",")}")
   private val dup = (fields.map(_.name) ++ embeds.map(_.name)).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
   require(dup.isEmpty, s"duplicate field(s) in $name: ${dup.mkString(",")}")
 
-  /** All fields incl. extension templates, in declaration order (M4). */
-  def allFields: Seq[FieldSpec] = fields ++ templateFields.filterNot(t => fields.exists(_.name == t.name))
+  /** Registered packs that survive the only/except filter, execution order. */
+  def enabledPacks: Seq[RulePack] = packs.filter(p => packEnabled(p.name))
+
+  /** All fields incl. schema- and pack-level extension templates, in
+    * declaration order (M4); declared fields win name collisions. */
+  def allFields: Seq[FieldSpec] = {
+    val tmpl = (templateFields ++ enabledPacks.flatMap(_.templateFields))
+      .filterNot(t => fields.exists(_.name == t.name))
+    fields ++ tmpl.foldLeft(Vector.empty[FieldSpec]) { (acc, t) =>
+      if (acc.exists(_.name == t.name)) acc else acc :+ t
+    }
+  }
+
+  /** P7: declared attributes over pack-contributed ones. */
+  def allAttributes: Map[String, Any] =
+    enabledPacks.flatMap(_.templateAttributes).toMap ++ attributes
 
   // M5 reflections (reference: lib/schema.ex:563-567 __schema__/1)
   def requiredFields: Seq[String] =
     allFields.filter(_.required).map(_.name) ++ embeds.filter(_.required).map(_.name)
   def blocks: Map[String, Seq[BlockClause]] =
     allFields.filter(_.block.nonEmpty).map(f => f.name -> f.block).toMap
-  def extensions: Seq[String] = RulePacks.All.filter(packEnabled)
+  def extensions: Seq[String] = enabledPacks.map(_.name)
 
   def packEnabled(pack: String): Boolean = (only, except) match {
     case (Some(o), _) => o.contains(pack)

@@ -2,6 +2,7 @@ package graft
 
 import graft.dsl._
 import graft.run.Validator
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
@@ -131,6 +132,53 @@ class PropertySpec extends SparkSpec {
     val plan = spark.read.parquet(dir + "/t").select(GraphemeLength($"s"))
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")), plan)
+  }
+
+  test("user-authored RulePack: violations flow through the normal pipeline, order preserved") {
+    // the extension-authoring seam (reference lib/extension.ex:238-272): a pack
+    // emitting triggers + a template field, registered alongside the built-ins
+    object BannedPack extends RulePack {
+      val name = "banned"
+      override def templateFields: Seq[FieldSpec] =
+        Seq(Field.string("audit_src").withDefault("banned-pack"))
+      override def templateAttributes: Map[String, Any] = Map("pack_version" -> 1)
+      def apply(spec: SchemaSpec, f: FieldSpec, st: RulePack.FieldState,
+          ctx: Ctx, prefix: Column): RulePack.Result =
+        f.ftype match {
+          case _: FString if f.name != "audit_src" => RulePack.Result(triggers = Seq(
+            graft.dsl.Trigger(st.inChanges && st.value.contains("zz"),
+              concat(prefix, lit(s"${f.name}.banned")), lit("contains banned token"))))
+          case _ => RulePack.Result.empty
+        }
+    }
+    val fields = Seq(Field.string("s").lenMax(3))
+    val df = Seq((1, "zzzz"), (2, "ok")).toDF("id", "s") // row 1 fails lenMax AND banned
+    val spec = SchemaSpec("p", fields, keyColumns = Seq("id"),
+      packs = RulePack.defaults :+ BannedPack)
+    val r = Validator.validate(spec, df)
+    assert(r.violations.as[(Int, String, String)].collect().toSet === Set(
+      (1, "s.max", "should be at most 3 character(s)"),
+      (1, "s.banned", "contains banned token")))
+    // pipeline order: packs run in registration order => validator trigger first
+    val arr = r.annotated.filter($"id" === 1)
+      .select($"violations.constraint_id").as[Seq[String]].collect().head
+    assert(arr.indexOf("s.max") < arr.indexOf("s.banned"))
+    val flipped = SchemaSpec("p", fields, keyColumns = Seq("id"),
+      packs = BannedPack +: RulePack.defaults)
+    val arr2 = Validator.validate(flipped, df).annotated.filter($"id" === 1)
+      .select($"violations.constraint_id").as[Seq[String]].collect().head
+    assert(arr2.indexOf("s.banned") < arr2.indexOf("s.max"))
+    // template field + attribute contributed by the pack
+    assert(spec.allFields.map(_.name) === Seq("s", "audit_src"))
+    assert(r.coerced.select("audit_src").distinct().as[String].collect().toSeq === Seq("banned-pack"))
+    assert(spec.allAttributes("pack_version") === 1)
+    // only/except honor REGISTERED packs, not just built-ins
+    val onlyBanned = Validator.validate(spec.copy(only = Some(Seq("banned"))), df)
+    assert(onlyBanned.violations.select("constraint_id").as[String].collect().toSet ===
+      Set("s.banned"))
+    intercept[IllegalArgumentException] { // unregistered name still rejected
+      SchemaSpec("p", fields, keyColumns = Seq("id"), only = Some(Seq("banned")))
+    }
   }
 
   test("M4 template fields merge in; M5 reflections; P7 attributes") {

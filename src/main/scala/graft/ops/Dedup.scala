@@ -1,8 +1,35 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Near-dup pairs plus the drop audit riding the SAME job: `audit` is an
+  * `Observation` on the bucket aggregate (a CollectMetrics node — zero extra
+  * passes, zero extra shuffles), resolved after any action on `pairs`.
+  * dropped_buckets/dropped_ids report what the `maxBucket` cap excluded, so a
+  * silent cap can never masquerade as full recall.
+  *
+  * AQE caveat: when NO bucket survives the cap (fully-degenerate corpora),
+  * adaptive empty-relation propagation replaces the finished stage with an
+  * empty scan and the CollectMetrics node — though it executed — drops out of
+  * the final plan, so the observation resolves to an empty map. That is
+  * exactly the case where the audit matters, so the accessors fall back to
+  * `recompute` (one explicit aggregate pass over the bands) when the
+  * observation came back empty. */
+final case class AuditedPairs(
+    pairs: DataFrame, audit: Observation, recompute: () => (Long, Long)) {
+  private lazy val resolved: (Long, Long) = {
+    val m = audit.get
+    if (m.contains("dropped_buckets"))
+      (m("dropped_buckets").asInstanceOf[Long], m("dropped_ids").asInstanceOf[Long])
+    else recompute()
+  }
+  /** Buckets excluded by the cap (call AFTER an action on `pairs`). */
+  def droppedBuckets: Long = resolved._1
+  /** Total ids inside excluded buckets (call AFTER an action on `pairs`). */
+  def droppedIds: Long = resolved._2
+}
 
 /** Deduplication operators for web-scale corpora. Scale model:
   *  - exact: one hash aggregate (map-side partial) on a digest, never on the
@@ -79,19 +106,49 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
-  /** Candidate pairs (id_a < id_b) from shared LSH buckets. `maxBucket` caps
-    * pathological buckets (boilerplate); those buckets are EXCLUDED here —
-    * audit them with [[oversizeBuckets]] (same cap) rather than assuming
-    * full coverage. */
-  def candidatePairs(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
-    bands.groupBy("band_idx", "band_hash")
+  private val auditSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Observe dropped-bucket metrics on a bucket aggregate carrying a sized
+    * array column `c` — computed DURING the pair job, not as a second pass.
+    * Returns (observed DF, observation, explicit recompute for the AQE-pruned
+    * empty-result case — see [[AuditedPairs]]). */
+  private[ops] def observeDrops(
+      grouped: DataFrame, c: String, maxBucket: Int): (DataFrame, Observation, () => (Long, Long)) = {
+    def aggs: Seq[Column] = Seq(
+      coalesce(sum(when(size(col(c)) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(size(col(c)) > maxBucket, size(col(c)).cast(LongType)).otherwise(0L)), lit(0L))
+        .as("dropped_ids"))
+    val obs = Observation(s"graft_dedup_audit_${auditSeq.incrementAndGet()}")
+    val observed = grouped.observe(obs, aggs.head, aggs.tail: _*)
+    val recompute = () => {
+      val r = grouped.agg(aggs.head, aggs.tail: _*).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    (observed, obs, recompute)
+  }
+
+  /** Candidate pairs (id_a < id_b) from shared LSH buckets, with the dropped-
+    * bucket audit attached to the same job. `maxBucket` caps pathological
+    * buckets (boilerplate); those buckets are EXCLUDED from the pairs and
+    * COUNTED in the audit. */
+  def candidatePairsAudited(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): AuditedPairs = {
+    val grouped = bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val (observed, obs, recompute) = observeDrops(grouped, "ids", maxBucket)
+    val pairs = observed
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i+2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    AuditedPairs(pairs, obs, recompute)
+  }
+
+  /** [[candidatePairsAudited]] without the audit handle (the metrics still
+    * ride the job and surface in the UI / QueryExecutionListeners). */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatePairsAudited(bands, maxBucket).pairs
 
   /** Exact n-gram Jaccard for given pairs: join shingle sets back, compute
     * |intersect| / |union|. Shingles are computed ONLY for documents that
@@ -111,20 +168,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
   }
 
-  /** End-to-end MinHash LSH near-dup detection:
+  /** End-to-end MinHash LSH near-dup detection with the drop audit:
     * shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify. */
-  def minhashNearDups(
+  def minhashNearDupsAudited(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.9, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.9, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): AuditedPairs = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig"))
-    val pairs = candidatePairs(lshBands(withSig, "id", col("sig"), bands, rows))
-    verifyJaccard(pairs, df, idCol, textCol, shingleN)
+    val cand = candidatePairsAudited(lshBands(withSig, "id", col("sig"), bands, rows), maxBucket)
+    val verified = verifyJaccard(cand.pairs, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
+    cand.copy(pairs = verified)
   }
+
+  /** [[minhashNearDupsAudited]] without the audit handle. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9, seed: Long = 42L): DataFrame =
+    minhashNearDupsAudited(df, idCol, textCol, shingleN, numHashes, bands, threshold, seed).pairs
 
   /** Brute-force exact-Jaccard pairs (small inputs / oracle baseline). */
   def jaccardPairsBruteForce(
@@ -203,19 +269,20 @@ object Dedup {
       .select(col("id"), col("sig"), col("b.band_idx"), col("b.band_hash"))
   }
 
-  /** SimHash near-dups with guaranteed recall: band into maxHamming+1 disjoint
-    * chunks (pigeonhole), bucket-join, verify exact hamming. Output is exactly
-    * { (a,b) : hamming(sig_a, sig_b) <= maxHamming } for every bucket within
-    * `maxBucket`; buckets beyond the cap (degenerate corpora — e.g. thousands
-    * of empty docs all at signature [0,0]) are EXCLUDED, not OOM'd — audit
-    * them with `oversizeBuckets(simhashBands(...), maxBucket)` before trusting
-    * full recall on such data. */
-  def simhashNearDups(
+  /** SimHash near-dups with guaranteed recall and the drop audit: band into
+    * maxHamming+1 disjoint chunks (pigeonhole), bucket-join, verify exact
+    * hamming. Output is exactly { (a,b) : hamming(sig_a, sig_b) <= maxHamming }
+    * for every bucket within `maxBucket`; buckets beyond the cap (degenerate
+    * corpora — e.g. thousands of empty docs all at signature [0,0]) are
+    * EXCLUDED, not OOM'd — and counted in the audit riding the same job. */
+  def simhashNearDupsAudited(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): AuditedPairs = {
     val bands = simhashBands(df, idCol, textCol, maxHamming)
-    bands.groupBy("band_idx", "band_hash")
+    val grouped = bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+    val (observed, obs, recompute) = observeDrops(grouped, "xs", maxBucket)
+    val pairs = observed
       .filter(size(col("xs")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
@@ -227,5 +294,12 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
+    AuditedPairs(pairs, obs, recompute)
   }
+
+  /** [[simhashNearDupsAudited]] without the audit handle. */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashNearDupsAudited(df, idCol, textCol, maxHamming, maxBucket).pairs
 }

@@ -294,18 +294,20 @@ object Similarity {
     * @param dim embedding dimensionality; <= 0 derives it from the first row
     *            (one tiny driver action) — a fixed wrong default would
     *            silently truncate signatures on wider corpora. */
-  def cosineNearDupPairsLsh(
+  def cosineNearDupPairsLshAudited(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
       numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket): AuditedPairs = {
     val d = if (dim > 0) dim
       else df.select(size(col(embCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus => empty pairs
     val planes = hyperplanes(numPlanes, d, seed)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshSignature(col(embCol), planes).as("sig"))
-    v.groupBy("sig")
+    val grouped = v.groupBy("sig")
       .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("xs"))
+    val (observed, obs, recompute) = Dedup.observeDrops(grouped, "xs", maxBucket)
+    val pairs = observed
       .filter(size(col("xs")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
@@ -316,5 +318,13 @@ object Similarity {
         cosine(col("p.emb_a"), col("p.emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    AuditedPairs(pairs, obs, recompute)
   }
+
+  /** [[cosineNearDupPairsLshAudited]] without the audit handle. */
+  def cosineNearDupPairsLsh(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      numPlanes: Int = 8, dim: Int = -1, seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    cosineNearDupPairsLshAudited(df, idCol, embCol, threshold, numPlanes, dim, seed, maxBucket).pairs
 }

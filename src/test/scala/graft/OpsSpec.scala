@@ -242,6 +242,27 @@ class OpsSpec extends SparkSpec {
     quant.unpersist()
   }
 
+  test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {
+    // 40 byte-identical docs: every band bucket holds all 40 ids. A cap of 10
+    // drops ALL of them — without the audit that would read as "no near-dups".
+    val degenerate = spark.range(40)
+      .select($"id".as("doc_id"), lit("same text everywhere forever and ever").as("text"))
+    val mh = Dedup.minhashNearDupsAudited(degenerate, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9, maxBucket = 10)
+    assert(mh.pairs.count() === 0) // capped out — and the audit says so
+    assert(mh.droppedBuckets === 16L) // one oversize bucket per band
+    assert(mh.droppedIds === 16L * 40)
+    val sh = Dedup.simhashNearDupsAudited(degenerate, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10)
+    assert(sh.pairs.count() === 0)
+    assert(sh.droppedBuckets > 0)
+    // a healthy corpus reports zero drops alongside its (non-empty) pairs
+    val healthy = Dedup.minhashNearDupsAudited(dupDocs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    assert(healthy.pairs.count() > 0)
+    assert(healthy.droppedBuckets === 0L && healthy.droppedIds === 0L)
+  }
+
   test("dot product: mismatched-length arrays yield null (corrupt embedding surfaces)") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),

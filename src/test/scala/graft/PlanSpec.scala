@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpec {
       s"cosine projection not codegen'd:\n$p")
   }
 
+  test("persisted IVF index partition-prunes queries to the probed cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-ivf-plan").toString
+    val centroids = graft.ops.Similarity.ivfBuildIndex(
+      e, "vec_id", "embedding", dir, numCells = 16, iters = 0, sampleSize = 16)
+    val q = (0 until 64).map(i => math.sin(i + 1).abs)
+    val indexed = spark.read.parquet(s"$dir/cells")
+    val top = graft.ops.Similarity.ivfTopKCosineAssigned(indexed, centroids, q, 10, nprobe = 4)
+    val scan = top.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // the cell filter lands in PartitionFilters (directory pruning), never a
+    // post-scan Filter over all 16 cell directories
+    assert(scan.contains("PartitionFilters:"), scan)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      s"cell IN-filter must prune partitions:\n$scan")
+    val probed = graft.ops.Similarity.probeCells(centroids, q, 4).toSet
+    assert(probed.size === 4)
+    // the pruned scan reads only rows from probed cells
+    import spark.implicits._
+    val cellsRead = indexed.filter(col("cell").isin(probed.toSeq: _*))
+      .select("cell").distinct().as[Int].collect().toSet
+    assert(cellsRead.subsetOf(probed))
+  }
+
   test("minhash/simhash signature projections stay inside whole-stage codegen") {
     // the signatures are native Expressions (one JITed static call each) — a
     // HOF fold here would be CodegenFallback and evict the whole projection

@@ -89,20 +89,29 @@ object Checks {
       pkCols: Seq[String],
       broadcastDim: Boolean = true,
       saltBuckets: Int = 0,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil,
+      /** Set when `dim` is ALREADY distinct on pkCols (a curated key table,
+        * a persisted `.distinct()`): skips the redundant dedup shuffle that
+        * would otherwise run on every check invocation. */
+      dimIsDistinct: Boolean = false): DataFrame = {
     require(fkCols.size == pkCols.size)
-    val dimKeys = dim.select(pkCols.map(col): _*).distinct()
+    val dimKeys =
+      if (dimIsDistinct) dim.select(pkCols.map(col): _*)
+      else dim.select(pkCols.map(col): _*).distinct()
     val outKeys = if (keyCols.nonEmpty) keyCols else fkCols
     val dangling =
       if (broadcastDim) {
         val cond = fkCols.zip(pkCols).map { case (f, p) => child(f) <=> dimKeys(p) }.reduce(_ && _)
         child.join(broadcast(dimKeys), cond, "left_anti")
       } else if (saltBuckets > 1) {
-        // deterministic per-row salt; dim replicated saltBuckets times
+        // deterministic per-row salt; dim replicated saltBuckets times. The
+        // merge hint pins the SORT-MERGE path (the 10^12-row shape this branch
+        // exists for) — without it AQE demotes a small-at-test-scale dim back
+        // to broadcast and the salting never gets exercised.
         val saltedChild = child.withColumn("__salt",
           pmod(xxhash64(outKeys.map(col): _*), lit(saltBuckets)).cast(IntegerType))
         val saltedDim = dimKeys.withColumn("__salt",
-          explode(sequence(lit(0), lit(saltBuckets - 1))))
+          explode(sequence(lit(0), lit(saltBuckets - 1)))).hint("shuffle_merge")
         val cond = (fkCols.zip(pkCols).map { case (f, p) => saltedChild(f) <=> saltedDim(p) } :+
           (saltedChild("__salt") === saltedDim("__salt"))).reduce(_ && _)
         saltedChild.join(saltedDim, cond, "left_anti").drop("__salt")

@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * emits keep=true; later occurrences emit keep=false with the running count. */
 case class DedupEvent(id: Long, digest: String, keep: Boolean, dup_count: Long)
 
+/** One near-duplicate pair found by the streaming SimHash path (id_a < id_b). */
+case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+
 /** Streaming exact dedup for ingest pipelines: state is keyed by the 32-byte
   * content digest — rows shuffle by digest only (never text), and the state
   * store grows with DISTINCT content, not stream length.
@@ -31,6 +34,68 @@ object StreamingDedup {
     df.withColumn("__digest", sha2(col(textCol), 256))
       .dropDuplicates("__digest")
       .drop("__digest")
+
+  /** Streaming SimHash NEAR-dup detection: the same banding as the batch path
+    * (graft.ops.Dedup.simhashBands — one native codegen signature Expression
+    * per doc, maxHamming+1 disjoint chunks => within-state recall 1.0 by
+    * pigeonhole), lifted to custom keyed state: each (band, hash) bucket keeps
+    * the (id, signature) pairs seen so far, and every arriving doc is
+    * hamming-verified against its bucket's state — so a near-dup is detected
+    * the moment its partner arrives, across micro-batches.
+    *
+    * Scale contract mirrors the batch path: state carries 16-byte signatures
+    * (never text), buckets are capped at `maxBucket` (a saturated bucket stops
+    * accumulating and emitting — degenerate corpora can't OOM the state
+    * store; audit via the batch oversizeBuckets on a sample). A pair that
+    * matches in several bands is emitted once per matching band — dedupe
+    * downstream (`dropDuplicates` over (id_a, id_b)) or in the sink; chaining
+    * a second stateful dedup here would pin this operator to specific
+    * multi-stateful support, so the choice is left to the caller.
+    *
+    * State grows with distinct (bucket, doc) pairs; bound it for endless
+    * streams by keying retention upstream (e.g. filter to a rolling corpus)
+    * or periodically restarting the query from a compacted corpus — signature
+    * state has no event-time, so watermark eviction does not apply. */
+  def simhashNearDupStream(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearDupPair] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dist(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    graft.ops.Dedup
+      .simhashBands(df.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, maxHamming)
+      .select(col("id"), col("sig"), col("band_idx"), col("band_hash"))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+            state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          val prior = state.getOption.getOrElse(Seq.empty)
+          if (prior.size >= maxBucket) Iterator.empty // saturated: excluded, like the batch cap
+          else {
+            // deterministic within-batch order; drop repeated ids (re-ingest)
+            val fresh = rows.map(r => (r._1, r._2)).toSeq
+              .distinctBy(_._1).sortBy(_._1)
+              .filterNot(f => prior.exists(_._1 == f._1))
+            val out = Seq.newBuilder[NearDupPair]
+            var seen = prior
+            for ((id, sig) <- fresh) {
+              for ((pid, psig) <- seen) {
+                val h = dist(sig, psig)
+                if (h <= maxHamming)
+                  out += NearDupPair(math.min(pid, id), math.max(pid, id), h)
+              }
+              if (seen.size < maxBucket) seen = seen :+ ((id, sig))
+            }
+            state.update(seen)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Audit stream: (id, digest, keep, dup_count) per input record. Within a
     * micro-batch the smallest id of a new digest is the keeper (deterministic

@@ -75,6 +75,33 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming simhash near-dup: partner found the moment it arrives; matches batch output") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val maxH = 30
+    val pairs = graft.streaming.StreamingDedup.simhashNearDupStream(df, "doc_id", "text", maxH)
+    val q = pairs.writeStream.format("memory").queryName("nd_sink").outputMode("append").start()
+    val t1 = "the quick brown fox jumps over the lazy dog again and again and again"
+    val t2 = "completely different content about spark catalyst expression codegen pipelines"
+    val t3 = t1 + " tail"
+    try {
+      input.addData((1L, t1), (2L, t2))
+      q.processAllAvailable()
+      assert(spark.table("nd_sink").count() === 0) // unrelated texts: no pair yet
+      input.addData((3L, t1), (4L, t3)) // 3 = exact partner of 1; 4 = near-dup
+      q.processAllAvailable()
+      // a pair matching in several bands is emitted once per band — set-compare
+      val got = spark.table("nd_sink").select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val batch = graft.ops.Dedup.simhashNearDups(
+        Seq((1L, t1), (2L, t2), (3L, t1), (4L, t3)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = maxH)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === batch)
+      assert(got.contains((1L, 3L))) // identical texts: hamming 0, cross-batch
+    } finally q.stop()
+  }
+
   test("streaming windowed summary with watermark (violations per window)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -249,13 +249,14 @@ object Bench {
       out
     }
     val outer = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    // Asymmetric inner sampling: steal hits the 4N side harder (any stolen
-    // vCPU among 16 busy threads stalls a whole task wave, and its samples
-    // are short enough to land entirely inside a steal burst — observed
-    // 19.8s..54.3s swings vs a tight N side), and a 4N sample costs 2.5x less
-    // wall — so buy more min-estimator chances where they're cheap.
+    // Asymmetric inner sampling (defaults: 4 N-side and 8 4N-side timed
+    // samples): steal hits the 4N side harder (any stolen vCPU among 16 busy
+    // threads stalls a whole task wave, and its samples are short enough to
+    // land entirely inside a steal burst — observed 19.8s..54.3s swings vs a
+    // tight N side), and a 4N sample costs 2.5x less wall — so buy more
+    // min-estimator chances where they're cheap.
     val innerN = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "2").toInt
-    val inner4N = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER_4N", "3").toInt
+    val inner4N = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER_4N", "4").toInt
     // N vs 4N EXECUTOR pair. Default N=1 (1 vs 4 executors x 4 cores): 16
     // busy threads stay under this single-socket box's memory-bandwidth
     // ceiling, so the ratio reflects the engine, not the sandbox's DRAM wall.

@@ -128,11 +128,15 @@ object SchemaCompiler {
 
     // ---- embeds (C4): recurse ----------------------------------------------
     for (e <- spec.embeds) {
-      // inline do-block embeds inherit the parent's extension-pack filters
-      // (reference: lib/schema.ex:369-387); module embeds keep their own
+      // inline do-block embeds inherit the parent's extension packs AND
+      // only/except filters (they are defined inside the parent module,
+      // reference: lib/schema.ex:369-387); module embeds keep their own.
+      // Packs inherit only when the embed kept the defaults — an embed that
+      // registered its own pipeline is explicit and wins.
       val childSchema =
         if (e.inline && e.schema.only.isEmpty && e.schema.except.isEmpty)
-          e.schema.copy(only = spec.only, except = spec.except)
+          e.schema.copy(only = spec.only, except = spec.except,
+            packs = if (e.schema.packs == RulePack.defaults) spec.packs else e.schema.packs)
         else e.schema
       val (raw, tOpt) = resolve(e.input)
       tOpt match {

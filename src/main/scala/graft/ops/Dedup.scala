@@ -20,7 +20,13 @@ import org.apache.spark.sql.types._
 final case class AuditedPairs(
     pairs: DataFrame, audit: Observation, recompute: () => (Long, Long)) {
   private lazy val resolved: (Long, Long) = {
-    val m = audit.get
+    // never block on Observation.get (it waits indefinitely if no action on
+    // `pairs` ran yet): give the async listener a short grace window, then
+    // fall back to the explicit recompute pass
+    val completed =
+      try { scala.concurrent.Await.ready(audit.future, scala.concurrent.duration.Duration(2, "s")); true }
+      catch { case _: java.util.concurrent.TimeoutException => false }
+    val m = if (completed) audit.get else Map.empty[String, Any]
     if (m.contains("dropped_buckets"))
       (m("dropped_buckets").asInstanceOf[Long], m("dropped_ids").asInstanceOf[Long])
     else recompute()
@@ -48,8 +54,15 @@ object Dedup {
   /** ONE shared default bucket cap for every LSH-bucketed path (candidate
     * generation, the oversize audit, simhash, embedding LSH) — an audit run at
     * a different cap than the dedup call would report buckets that were not
-    * actually dropped, undermining the no-silent-caps contract. */
-  val DefaultMaxBucket: Int = 10000
+    * actually dropped, undermining the no-silent-caps contract.
+    *
+    * 1000, the conservative end: every pair path materializes a bucket's
+    * C(n,2) pairs as one in-memory array before explode, so the cap bounds a
+    * ~n^2 blow-up — 1000 caps it at ~500k pair structs per bucket (and for
+    * the embedding path the structs carry vectors). Raise it per call for
+    * corpora where bigger buckets are genuinely expected; the drop audit
+    * reports whatever the cap excluded either way. */
+  val DefaultMaxBucket: Int = 1000
 
   // --------------------------------------------------------------------------
   // Exact dedup (hash-groupBy on content digest)

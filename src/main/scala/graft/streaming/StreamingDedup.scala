@@ -61,6 +61,17 @@ object StreamingDedup {
       maxHamming: Int = 8, maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearDupPair] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fail at ANALYSIS, not on the first micro-batch: ANSI mode makes a
+    // string->long cast of a UUID-shaped id crash the running query
+    val idType = df.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"simhashNearDupStream needs an integral id column; '$idCol' is " +
+        s"${idType.catalogString} — hash non-numeric ids first (e.g. xxhash64($idCol))")
     def dist(a: Seq[Long], b: Seq[Long]): Int =
       a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
     graft.ops.Dedup

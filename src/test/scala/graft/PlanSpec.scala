@@ -117,11 +117,18 @@ class PlanSpec extends SparkSpec {
       s"cell IN-filter must prune partitions:\n$scan")
     val probed = graft.ops.Similarity.probeCells(centroids, q, 4).toSet
     assert(probed.size === 4)
-    // the pruned scan reads only rows from probed cells
+    // non-tautological pruning proof: the scan node EMITS at most the probed
+    // cells' rows — a regressed post-scan filter would have the scan emit all
+    // 16 cells' rows and only then discard
+    top.collect()
+    val scanned = top.queryExecution.executedPlan
+      .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .map(_.metrics("numOutputRows").value).sum
     import spark.implicits._
-    val cellsRead = indexed.filter(col("cell").isin(probed.toSeq: _*))
-      .select("cell").distinct().as[Int].collect().toSet
-    assert(cellsRead.subsetOf(probed))
+    val probedRows = indexed.filter(col("cell").isin(probed.toSeq: _*)).count()
+    val totalRows = indexed.count()
+    assert(probedRows < totalRows) // the probe set is a real subset
+    assert(scanned <= probedRows, s"scan emitted $scanned rows; probed cells hold $probedRows")
   }
 
   test("minhash/simhash signature projections stay inside whole-stage codegen") {

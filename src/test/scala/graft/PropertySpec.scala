@@ -179,6 +179,19 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException] { // unregistered name still rejected
       SchemaSpec("p", fields, keyColumns = Seq("id"), only = Some(Seq("banned")))
     }
+    // inline embeds inherit the parent's REGISTERED packs, not just the
+    // built-in filters: the custom pack fires on embed fields, and a parent
+    // only-filter naming it doesn't crash the embed's own validation
+    val embSchema = SchemaSpec("child", Seq(Field.string("note")))
+    val parent = SchemaSpec("p2", fields, keyColumns = Seq("id"),
+      embeds = Seq(EmbedSpec("child", embSchema, inline = true)),
+      packs = RulePack.defaults :+ BannedPack,
+      only = Some(Seq("banned", RulePacks.EctoValidations)))
+    val df2 = Seq((1, "ok", "zz inside")).toDF("id", "s", "note")
+      .withColumn("child", struct($"note")).drop("note")
+    val r2 = Validator.validate(parent, df2)
+    assert(r2.violations.select("constraint_id").as[String].collect().toSet ===
+      Set("child.note.banned"))
   }
 
   test("M4 template fields merge in; M5 reflections; P7 attributes") {

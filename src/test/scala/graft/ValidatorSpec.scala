@@ -446,6 +446,13 @@ class ValidatorSpec extends SparkSpec {
     val d2 = Validator.validate(spec2, df2).annotated
       .select(u2.dumpExpr($"v")).collect().head.getString(0)
     assert(d2 === "1")
+    // an FCustom wrapping a composite (no dump override) still dumps as JSON
+    val u3 = FUnion(Seq(FCustom("tags", FArray(FInteger)), FString()))
+    val d3 = Validator.validate(
+      SchemaSpec("u3", Seq(Field.of("v", u3)), keyColumns = Seq("id")),
+      Seq((1, Seq("7", "8"))).toDF("id", "v")).annotated
+      .select(u3.dumpExpr($"v")).collect().head.getString(0)
+    assert(d3 === "[7,8]")
   }
 
   test("summary: per-partition and grouped pass/fail counts (N3)") {

@@ -150,6 +150,18 @@ object Validator {
         case _: FString | FDecimal | FDate | FNaiveDatetime | FUtcDatetime | _: FEnum =>
           concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
         case FInteger | FFloat | FBoolean => dumped.cast(StringType)
+        case u: FUnion =>
+          // JSON value follows the TAKEN branch's dump type (reference:
+          // union embed_as :dump + JSON encode — a float branch serializes
+          // as a number, an array branch as a JSON array, strings quoted)
+          coalesce(u.branches.zipWithIndex.map { case (b, i) =>
+            val d = b.dumpExpr(c.getField(s"b$i"))
+            b match {
+              case FInteger | FFloat | FBoolean => d.cast(StringType)
+              case _: FArray | _: FMap          => to_json(d)
+              case _ => concat(lit("\""), jsonEscape(d.cast(StringType)), lit("\""))
+            }
+          }: _*)
         case _ => concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
       }
     }

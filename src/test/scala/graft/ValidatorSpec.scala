@@ -455,6 +455,18 @@ class ValidatorSpec extends SparkSpec {
     assert(d3 === "[7,8]")
   }
 
+  test("dumpJson union field: JSON value type follows the taken branch (number/array/string)") {
+    val u = FUnion(Seq(FInteger, FArray(FInteger), FString()))
+    val spec = SchemaSpec("j", Seq(Field.of("v", u)), keyColumns = Seq("id"))
+    def js(df: org.apache.spark.sql.DataFrame): String =
+      Validator.dumpJson(spec, Validator.validate(spec, df).coerced)
+        .select("json").as[String].collect().head
+    assert(js(Seq((1, "42")).toDF("id", "v")) === """{"v":42}""")      // integer branch: unquoted
+    assert(js(Seq((1, "ab")).toDF("id", "v")) === """{"v":"ab"}""")    // string branch: quoted
+    val arrDf = Seq((1, Seq("1", "2"))).toDF("id", "v")
+    assert(js(arrDf) === """{"v":[1,2]}""")                            // array branch: JSON array
+  }
+
   test("summary: per-partition and grouped pass/fail counts (N3)") {
     val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
     val df = spark.range(100).select($"id", ($"id" % 20).as("n"))

@@ -30,6 +30,17 @@ sealed trait FType extends Serializable {
 }
 
 object FType {
+  /** Unwrap FCustom delegation chains (no dump override => the dump IS the
+    * base's) so behavior that dispatches on the type class — length units,
+    * composite-vs-scalar JSON dumps — treats a custom type like the type it
+    * extends (reference: lib/type.ex deftype delegates everything not
+    * overridden). A custom dump override is opaque: unwrapping stops there. */
+  @annotation.tailrec
+  def underlying(t: FType): FType = t match {
+    case FCustom(_, base, _, None, _) => underlying(base)
+    case other                        => other
+  }
+
   private[dsl] def isNumeric(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
         _: FloatType | _: DoubleType | _: DecimalType => true
@@ -308,20 +319,14 @@ case class FUnion(branches: Seq[FType], lazyInfer: Boolean = false) extends FTyp
     * a string; scalar branch dumps cast losslessly, composite branch dumps
     * (array/map/nested union) are JSON-encoded — `[1,2]`, not a Scala
     * stringification of the internal value. */
-  /** Does this branch's dump produce a composite (array/map) value? FCustom
-    * without a dump override delegates to its base; with an override the dump
-    * type is opaque and falls back to the string cast (documented). A nested
-    * FUnion's own dumpExpr already yields a string. */
-  private def dumpsComposite(t: FType): Boolean = t match {
-    case _: FArray | _: FMap                 => true
-    case FCustom(_, base, _, None, _)        => dumpsComposite(base)
-    case _                                   => false
-  }
-
   override def dumpExpr(c: Column): Column =
     coalesce(branches.zipWithIndex.map { case (b, i) =>
       val d = b.dumpExpr(c.getField(s"b$i"))
-      if (dumpsComposite(b)) to_json(d) else d.cast(StringType)
+      // a nested FUnion's own dumpExpr already yields a string
+      FType.underlying(b) match {
+        case _: FArray | _: FMap => to_json(d)
+        case _                   => d.cast(StringType)
+      }
     }: _*)
 
   /** Which branch name a cast value took, e.g. "integer"/"float". */

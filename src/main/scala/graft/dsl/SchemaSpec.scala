@@ -223,7 +223,7 @@ case class FieldSpec(
     case v                => v
   })
   private def v(x: Validator): FieldSpec = copy(validators = validators :+ x)
-  private def lenUnit: String = ftype match {
+  private def lenUnit: String = FType.underlying(ftype) match {
     case FArray(_) => "items"
     case FBinary   => "bytes"
     case _         => "characters"
@@ -333,13 +333,10 @@ case class SchemaSpec(
 
   /** All fields incl. schema- and pack-level extension templates, in
     * declaration order (M4); declared fields win name collisions. */
-  def allFields: Seq[FieldSpec] = {
-    val tmpl = (templateFields ++ enabledPacks.flatMap(_.templateFields))
+  def allFields: Seq[FieldSpec] =
+    fields ++ (templateFields ++ enabledPacks.flatMap(_.templateFields))
       .filterNot(t => fields.exists(_.name == t.name))
-    fields ++ tmpl.foldLeft(Vector.empty[FieldSpec]) { (acc, t) =>
-      if (acc.exists(_.name == t.name)) acc else acc :+ t
-    }
-  }
+      .distinctBy(_.name)
 
   /** P7: declared attributes over pack-contributed ones. */
   def allAttributes: Map[String, Any] =

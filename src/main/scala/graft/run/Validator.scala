@@ -144,11 +144,13 @@ object Validator {
     * express that mix).
     */
   def dumpJson(spec: SchemaSpec, coerced: DataFrame): DataFrame = {
+    // dispatch on the UNDERLYING type so FCustom wrappers serialize like the
+    // type they extend (a custom dump override is opaque => quoted string)
     def scalarJson(c: Column, t: FType): Column = {
       val dumped = t.dumpExpr(c)
-      t match {
-        case _: FString | FDecimal | FDate | FNaiveDatetime | FUtcDatetime | _: FEnum =>
-          concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
+      def quoted(d: Column): Column =
+        concat(lit("\""), jsonEscape(d.cast(StringType)), lit("\""))
+      (t match { case FCustom(_, _, _, Some(_), _) => t; case _ => FType.underlying(t) }) match {
         case FInteger | FFloat | FBoolean => dumped.cast(StringType)
         case u: FUnion =>
           // JSON value follows the TAKEN branch's dump type (reference:
@@ -156,13 +158,13 @@ object Validator {
           // as a number, an array branch as a JSON array, strings quoted)
           coalesce(u.branches.zipWithIndex.map { case (b, i) =>
             val d = b.dumpExpr(c.getField(s"b$i"))
-            b match {
+            FType.underlying(b) match {
               case FInteger | FFloat | FBoolean => d.cast(StringType)
               case _: FArray | _: FMap          => to_json(d)
-              case _ => concat(lit("\""), jsonEscape(d.cast(StringType)), lit("\""))
+              case _                            => quoted(d)
             }
           }: _*)
-        case _ => concat(lit("\""), jsonEscape(dumped.cast(StringType)), lit("\""))
+        case _ => quoted(dumped)
       }
     }
     def objJson(s: SchemaSpec, get: String => Column): Column = {

@@ -404,6 +404,34 @@ class ValidatorSpec extends SparkSpec {
     assert(ex2.getMessage === """%p{age: ["must be greater than 100"]}""")
   }
 
+  test("FInteger string cast: fast-path regex matches try_cast bit-for-bit on the edge corpus") {
+    // the pre-screen must never disagree with try_cast (oracle parity)
+    val edges = Seq(" 42 ", "42", "+7", "-0008", "42.0", "",
+      "9223372036854775807", "-9223372036854775808", "92233720368547758070",
+      "x1", "\t13\n", "1_0", "0x1A", "١٢٣", "+", "-", "99999999999999999999999")
+    val df = edges.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+    val got = df.select($"id", FInteger.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast"),
+      expr("try_cast(s AS bigint)").as("exact")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"row ${r.getInt(0)}: fast/exact null mismatch")
+      if (!r.isNullAt(1)) assert(r.getLong(1) === r.getLong(2), s"row ${r.getInt(0)}")
+    }
+    // float screen: rejection must agree with try_cast on every edge shape
+    val fEdges = Seq(" 3.5 ", "3.", ".5", "1e3", "1E-2", "+.5e+2", "Infinity",
+      "-Infinity", "infinity", "Inf", "NaN", "nan", "0x1p3", "1d", "1.5D",
+      "abc", "w7", "1,5", "5e", "e5", ".", "+.", "1e400", "", " -inf ")
+    val fdf = fEdges.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+    val fgot = fdf.select($"id",
+      FFloat.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast"),
+      expr("try_cast(s AS double)").as("exact")).collect()
+    fgot.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"float row ${r.getInt(0)}: null mismatch")
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) === r.getDouble(2) ||
+          (r.getDouble(1).isNaN && r.getDouble(2).isNaN), s"float row ${r.getInt(0)}")
+    }
+  }
+
   test(":time/:time_usec accept 1-6 digit fractions and truncate beyond (Ecto Time.cast)") {
     val df = Seq(
       (1, "13:45:02"),          // no fraction

@@ -145,13 +145,23 @@ case object FBoolean extends FType {
   }
 }
 
+/** Fast rejection for string->date/timestamp casts (same exception-path issue
+  * as [[FloatScreen]]): a castable string starts, after <= 0x20 trimming,
+  * with an optional sign + digit (ISO shapes, extended years) or one of the
+  * special words now/today/epoch/yesterday/tomorrow — screen on the first
+  * significant character, exact for rejection. */
+private[dsl] object DateScreen {
+  val maybeValid = "^[\\x00-\\x20]*([+-]?[0-9]|[nNtTeEyY])"
+}
+
 case object FDate extends FType {
   val name = "date"
   val sparkType: DataType = DateType
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: DateType   => c
-    case _: StringType => c.try_cast(DateType)
-    case _             => nullOf
+    case _: StringType =>
+      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(DateType))
+    case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)
 }
@@ -162,8 +172,9 @@ case object FNaiveDatetime extends FType {
   val sparkType: DataType = TimestampNTZType
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: TimestampNTZType | _: TimestampType => c.cast(sparkType)
-    case _: StringType                          => c.try_cast(sparkType)
-    case _                                      => nullOf
+    case _: StringType =>
+      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(sparkType))
+    case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)
 }
@@ -174,8 +185,9 @@ case object FUtcDatetime extends FType {
   val sparkType: DataType = TimestampType
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: TimestampType | _: TimestampNTZType => c.cast(sparkType)
-    case _: StringType                          => c.try_cast(sparkType)
-    case _                                      => nullOf
+    case _: StringType =>
+      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(sparkType))
+    case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)
 }

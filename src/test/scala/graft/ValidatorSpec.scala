@@ -430,6 +430,22 @@ class ValidatorSpec extends SparkSpec {
         assert(r.getDouble(1) === r.getDouble(2) ||
           (r.getDouble(1).isNaN && r.getDouble(2).isNaN), s"float row ${r.getInt(0)}")
     }
+    // date/timestamp screen: rejection agrees with try_cast incl. special words
+    val dEdges = Seq("2024-05-06", " 2024-5-6 ", "2024-05-06T07:08:09", "now",
+      "today", "TOMORROW", "epoch", "Yesterday", "banana", "energy-drink",
+      "not-a-date", "+10000-01-01", "05/06/2024", "", "T10:00:00")
+    val ddf = dEdges.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+    val dgot = ddf.select($"id",
+      FDate.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast"),
+      expr("try_cast(s AS date)").as("exact"),
+      FUtcDatetime.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast_ts"),
+      expr("try_cast(s AS timestamp)").as("exact_ts")).collect()
+    dgot.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"date row ${r.getInt(0)} (${dEdges(r.getInt(0))})")
+      if (!r.isNullAt(1)) assert(r.get(1) === r.get(2), s"date row ${r.getInt(0)}")
+      assert(r.isNullAt(3) === r.isNullAt(4), s"ts row ${r.getInt(0)} (${dEdges(r.getInt(0))})")
+      if (!r.isNullAt(3)) assert(r.get(3) === r.get(4), s"ts row ${r.getInt(0)}")
+    }
   }
 
   test(":time/:time_usec accept 1-6 digit fractions and truncate beyond (Ecto Time.cast)") {

@@ -4,7 +4,14 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines — all pure
-  * Catalyst expressions (codegen'd, shuffle-free, scale with the scan).
+  * Catalyst Column expressions, shuffle-free, scaling with the scan. Note the
+  * higher-order functions (filter/transform/aggregate) here are
+  * CodegenFallback — interpreted per element, and one in a projection evicts
+  * the whole stage from whole-stage codegen. That is the deliberate trade for
+  * oracle-reproducible token semantics at these ops' measured costs
+  * (3-9us/row); the per-row loops that proved genuinely hot (MinHash, SimHash,
+  * dot product, centroid argmax) live as native codegen Expressions in
+  * graft.functions instead.
   */
 object TextOps {
 

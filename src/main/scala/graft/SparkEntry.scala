@@ -336,6 +336,29 @@ object SparkEntry {
       Validator.validate(spec, t(s, dir, "documents")).violations
     }),
 
+    // ---- M1 user-authored RulePack (extension-authoring seam) -------------------------------------------
+    // A custom pipeline stage registered alongside the built-ins
+    // (lib/extension.ex:238-272, lib/flint/extension/dsl.ex:1-57): fires a
+    // violation on the planted "dup" marker token; the built-in length
+    // validator on the same field shows both stages accumulate through the
+    // one normal violations pipeline.
+    "q_rulepack" -> ((s, dir) => {
+      object DupMarkerPack extends RulePack {
+        val name = "dup_marker"
+        def apply(spec: SchemaSpec, f: FieldSpec, st: RulePack.FieldState,
+            ctx: Ctx, prefix: Column): RulePack.Result = f.ftype match {
+          case _: FString if f.name == "text" => RulePack.Result(triggers = Seq(
+            Trigger(st.inChanges && st.value.contains("dup"),
+              concat(prefix, lit(s"${f.name}.dup_marker")),
+              lit("contains planted dup marker"))))
+          case _ => RulePack.Result.empty
+        }
+      }
+      val spec = SchemaSpec("documents", Seq(Field.string("text").lenMax(420)),
+        keyColumns = Seq("doc_id"), packs = RulePack.defaults :+ DupMarkerPack)
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
     // ---- E1 full pipeline (flagship) --------------------------------------------------------------------
     "q_validate_documents" -> ((s, dir) =>
       Validator.validate(flagshipSchema, docsDirty(s, dir)).violations),
@@ -661,6 +684,14 @@ object SparkEntry {
     "q_block_reset" ->
       """SELECT doc_id, 'n_chars.block.1' AS constraint_id, 'too short' AS reason
          FROM documents WHERE n_chars < 200 AND n_chars % 2 <> 0""",
+
+    "q_rulepack" ->
+      """SELECT doc_id, 'text.max' AS constraint_id,
+                'should be at most 420 character(s)' AS reason
+         FROM documents WHERE length(text) > 420
+         UNION ALL
+         SELECT doc_id, 'text.dup_marker', 'contains planted dup marker'
+         FROM documents WHERE text LIKE '%dup%'""",
 
     "q_validate_documents" -> flagshipOracleUnion,
 

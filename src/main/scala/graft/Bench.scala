@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** O(n^2)-by-design verification baselines; not scale paths. */
-  private val excluded = Set("q_dedup_ngram")
+  /** O(n^2)-by-design verification baselines; not scale paths.
+    * (q_dedup_groups' component step is the scale path, but its gate query
+    * feeds it brute-force Jaccard pairs for oracle reproducibility.) */
+  private val excluded = Set("q_dedup_ngram", "q_dedup_groups")
 
   private val benchLocalDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-local"

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsl._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Decontaminate, Dedup, Multimodal, Similarity, TextOps}
 import graft.run.Validator
 import graft.suite.Checks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -424,6 +424,27 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.jaccardPairsBruteForce(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
 
+    // ---- dedup: connected components => duplicate clusters ---------------------------------------------------------------
+    // Pairs -> clusters via alternating large-star/small-star; component id =
+    // cluster minimum, so output is engine-independent. The oracle recomputes
+    // components with a recursive reachability CTE over the same pair set.
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsBruteForce(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+      Components.nearDupGroups(pairs).select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // ---- decontamination: n-gram collisions corpus vs benchmark ----------------------------------------------------------
+    // Even/odd doc split as corpus/probe; pairs sharing >= 20 distinct
+    // 3-grams are contamination flags. The engine joins 8-byte ngram hashes;
+    // the oracle joins the ngram strings themselves.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramCollisions(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        n = 3, minHits = 20L)
+    }),
+
     // ---- dedup: SimHash (md5-derived 120-bit signature => the DuckDB oracle recomputes it bit-for-bit) -------------------
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = SimhashMaxHamming)),
@@ -751,6 +772,25 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_dedup_ngram" -> jaccardOracle(0.8),
 
+    "q_decontaminate" -> s"""
+      WITH s AS ($shingleCte),
+      c AS (SELECT doc_id AS id, unnest(sh) AS g FROM s WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id AS probe_id, unnest(sh) AS g FROM s WHERE doc_id % 2 = 1)
+      SELECT c.id, p.probe_id, COUNT(*) AS hits
+      FROM c JOIN p ON c.g = p.g
+      GROUP BY c.id, p.probe_id
+      HAVING COUNT(*) >= 20""",
+
+    "q_dedup_groups" -> s"""
+      WITH RECURSIVE p AS (${jaccardOracle(0.8)}),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      walk(id, reach) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN e ON e.u = w.reach
+      )
+      SELECT id AS doc_id, MIN(reach) AS component FROM walk GROUP BY id""",
+
     // SimHash recomputed bit-for-bit: md5 per token, two 60-bit words from hex
     // chars 1-15/16-30, +-1 votes per bit, sign fold. The banding in the engine
     // is lossless for hamming <= maxHamming (pigeonhole), so brute-force pairs
@@ -940,16 +980,20 @@ object SparkEntry {
   /** Exact pairwise n-gram(3) Jaccard in DuckDB: shingle lists via list
     * comprehension, intersection/union via list ops. Matches the engine's
     * shingle definition (distinct word 3-grams; whole text when < 3 words). */
+  /** Distinct word 3-gram shingles per document (DuckDB), mirroring
+    * TextOps.shingles(text, 3) incl. the short-doc whole-text fallback. */
+  private val shingleCte: String =
+    """SELECT doc_id,
+              CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_distinct([string_split(text,' ')[i] || ' ' ||
+                                       string_split(text,' ')[i+1] || ' ' ||
+                                       string_split(text,' ')[i+2]
+                                       for i in range(1, len(string_split(text,' ')) - 1)])
+                   ELSE [text] END AS sh
+       FROM documents"""
+
   private def jaccardOracle(threshold: Double): String =
-    s"""WITH s AS (
-          SELECT doc_id,
-                 CASE WHEN len(string_split(text,' ')) >= 3
-                      THEN list_distinct([string_split(text,' ')[i] || ' ' ||
-                                          string_split(text,' ')[i+1] || ' ' ||
-                                          string_split(text,' ')[i+2]
-                                          for i in range(1, len(string_split(text,' ')) - 1)])
-                      ELSE [text] END AS sh
-          FROM documents)
+    s"""WITH s AS ($shingleCte)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard

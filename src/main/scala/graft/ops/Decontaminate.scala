@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard LLM-pipeline check that training
+  * documents do not leak evaluation data: flag any corpus document sharing at
+  * least `minHits` distinct word n-grams with a probe (benchmark/test-set)
+  * document. (The GPT-3 and Llama reports use 8-13-gram collision filters of
+  * exactly this shape.)
+  *
+  * Scale model: each side explodes into (xxhash64(ngram), id) rows — the
+  * shuffle carries 8-byte hashes and ids, never text — and the equi-join on
+  * the hash feeds one partial+final count aggregate per colliding pair. The
+  * probe side (a benchmark) is typically tiny next to the corpus: Spark's AQE
+  * broadcasts it, making the whole check one corpus scan with no corpus-side
+  * shuffle. n-grams are distinct per document ([[TextOps.shingles]]), so
+  * `hits` counts distinct shared n-grams directly. Documents shorter than n
+  * tokens fall back to a whole-text shingle and so only collide with equally
+  * short identical text.
+  */
+object Decontaminate {
+
+  private def hashedNgrams(df: DataFrame, id: String, text: String, idOut: String, n: Int) =
+    df.select(col(id).as(idOut), explode(TextOps.shingles(col(text), n)).as("__g"))
+      .select(col(idOut), xxhash64(col("__g")).as("__h"))
+
+  /** Collision pairs (id, probe_id, hits): corpus documents sharing >= minHits
+    * distinct n-grams with a probe document. */
+  def ngramCollisions(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      probe: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int = 13, minHits: Long = 1L): DataFrame =
+    hashedNgrams(corpus, corpusIdCol, corpusTextCol, "id", n)
+      .join(hashedNgrams(probe, probeIdCol, probeTextCol, "probe_id", n), "__h")
+      .groupBy("id", "probe_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+
+  /** Corpus minus every document colliding with the probe set. The anti-join
+    * ships the flagged-id set only, never documents. */
+  def decontaminate(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      probe: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int = 13, minHits: Long = 1L): DataFrame = {
+    val flagged = ngramCollisions(
+      corpus, corpusIdCol, corpusTextCol, probe, probeIdCol, probeTextCol, n, minHits)
+      .select(col("id").as(corpusIdCol)).distinct()
+    corpus.join(flagged, Seq(corpusIdCol), "left_anti")
+  }
+}

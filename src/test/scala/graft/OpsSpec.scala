@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators: dedup family, similarity search, text
@@ -326,5 +326,80 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.decodeBatched(media, "doc_id", "media", 8, 32).collect()
       .map(r => r.id -> r.features.toSeq).toMap
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
+  }
+
+  test("decontamination: planted benchmark leaks flagged with exact hit counts") {
+    import graft.ops.Decontaminate
+    val probe = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 90000).as("pid"), $"text".as("ptext"))
+    // corpus = all docs + exact copies of the probe texts under fresh ids
+    val corpus = docs.select($"doc_id", $"text")
+      .unionAll(probe.select($"pid" + 10000, $"ptext")).toDF("doc_id", "text")
+    val hits = Decontaminate.ngramCollisions(
+      corpus, "doc_id", "text", probe, "pid", "ptext", n = 3, minHits = 10L)
+      .cache()
+    // every planted copy collides with its source at hits = its distinct-shingle count
+    val shingleCounts = probe
+      .select($"pid", size(TextOps.shingles($"ptext", 3)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = hits.as[(Long, Long, Long)].collect()
+      .map { case (id, pid, h) => (id, pid) -> h }.toMap
+    shingleCounts.foreach { case (pid, n) =>
+      assert(got.get((pid + 10000, pid)).contains(n), s"planted copy of $pid")
+    }
+    // decontaminate removes exactly the flagged ids, nothing else
+    val flagged = hits.select($"id").distinct().as[Long].collect().toSet
+    val kept = Decontaminate.decontaminate(
+      corpus, "doc_id", "text", probe, "pid", "ptext", n = 3, minHits = 10L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === corpus.select($"doc_id").as[Long].collect().toSet -- flagged)
+    assert(shingleCounts.keySet.forall(pid => !kept.contains(pid + 10000)))
+    hits.unpersist()
+  }
+
+  /** Driver-side union-find for cross-checking connectedComponents. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components: matches union-find; long chain converges in log rounds") {
+    // triangle + 200-node chain + isolated edge; the chain would need 199
+    // rounds of naive label propagation but large-star/small-star handles it
+    // inside maxRounds=25 (O(log^2 n) bound)
+    val chain = (0L until 199L).map(i => (1000L + i, 1000L + i + 1))
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), (5000L, 4999L)) ++ chain
+    val got = Components.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === ufComponents(edges))
+    assert(got(1199L) === 1000L && got(10L) === 10L && got(5000L) === 4999L)
+  }
+
+  test("near-dup groups + dedupByPairs: planted dup clusters collapse to one representative") {
+    val pairs = Dedup.minhashNearDups(dupDocs, "doc_id", "text", threshold = 0.8)
+    val groups = Components.nearDupGroups(pairs)
+    val expected = ufComponents(pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq)
+    assert(groups.as[(Long, Long)].collect().toMap === expected)
+    // every planted exact copy (doc_id%5==0 +10000) clusters with its original
+    val comp = groups.as[(Long, Long)].collect().toMap
+    docs.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect().foreach { id =>
+      assert(comp.get(id + 10000).contains(comp.getOrElse(id, id)))
+    }
+    val deduped = Components.dedupByPairs(dupDocs, "doc_id", pairs)
+    // survivors: one representative per cluster + all unclustered docs
+    val losers = expected.count { case (id, c) => id != c }
+    assert(deduped.count() === dupDocs.count() - losers)
+    // deterministic representative: the cluster minimum survives
+    assert(deduped.join(groups.filter($"id" =!= $"component"),
+      deduped("doc_id") === col("id"), "left_semi").count() === 0)
   }
 }

@@ -25,14 +25,28 @@ object Decontaminate {
     df.select(col(id).as(idOut), explode(TextOps.shingles(col(text), n)).as("__g"))
       .select(col(idOut), xxhash64(col("__g")).as("__h"))
 
+  /** The probe side's hashed n-grams (probe_id, __h) — compute ONCE and
+    * persist when the same probe set screens many corpora or micro-batches
+    * (the streaming flavor re-plans per batch; without this the benchmark
+    * set would re-shingle every trigger). */
+  def probeHashes(probe: DataFrame, probeIdCol: String, probeTextCol: String, n: Int): DataFrame =
+    hashedNgrams(probe, probeIdCol, probeTextCol, "probe_id", n)
+
   /** Collision pairs (id, probe_id, hits): corpus documents sharing >= minHits
     * distinct n-grams with a probe document. */
   def ngramCollisions(
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
       probe: DataFrame, probeIdCol: String, probeTextCol: String,
       n: Int = 13, minHits: Long = 1L): DataFrame =
+    ngramCollisionsAgainst(corpus, corpusIdCol, corpusTextCol,
+      probeHashes(probe, probeIdCol, probeTextCol, n), n, minHits)
+
+  /** [[ngramCollisions]] against a precomputed [[probeHashes]] frame. */
+  def ngramCollisionsAgainst(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      probeHashed: DataFrame, n: Int, minHits: Long): DataFrame =
     hashedNgrams(corpus, corpusIdCol, corpusTextCol, "id", n)
-      .join(hashedNgrams(probe, probeIdCol, probeTextCol, "probe_id", n), "__h")
+      .join(probeHashed, "__h")
       .groupBy("id", "probe_id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
 

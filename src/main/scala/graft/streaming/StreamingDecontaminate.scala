@@ -1,0 +1,36 @@
+package graft.streaming
+
+import graft.ops.Decontaminate
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming benchmark decontamination: a document's verdict depends only on
+  * its own n-grams and the STATIC probe (benchmark) set, so the operator is
+  * stateless across micro-batches — `foreachBatch` over the batch operator is
+  * the idiomatic Structured Streaming shape here, not a stateful stream agg
+  * (whose state would buy nothing and grow with the stream). The probe's
+  * hashed n-grams are computed once and persisted; each trigger pays one
+  * batch-side shingle pass plus the hash join (probe side broadcast when
+  * small, which a benchmark set is).
+  */
+object StreamingDecontaminate {
+
+  /** Configured writer that, per micro-batch, hands `sink` the batch MINUS
+    * documents colliding with the probe set at >= minHits shared n-grams.
+    * Caller starts/stops the query (and sets trigger/checkpoint options). */
+  def decontaminateStream(
+      stream: DataFrame, idCol: String, textCol: String,
+      probe: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int = 13, minHits: Long = 1L)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val probeHashed =
+      Decontaminate.probeHashes(probe, probeIdCol, probeTextCol, n).persist()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val flagged = Decontaminate
+        .ngramCollisionsAgainst(batch, idCol, textCol, probeHashed, n, minHits)
+        .select(col("id").as(idCol)).distinct()
+      sink(batch.join(flagged, Seq(idCol), "left_anti"), batchId)
+    }
+  }
+}

@@ -123,4 +123,30 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set((2L, 1L), (1L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bench = "the quick brown fox jumps over the lazy dog again and again"
+    val clean1 = "spark shuffles hash partitions across executor cores nightly"
+    val clean2 = "catalyst folds constants before codegen emits the loop body"
+    val probe = Seq((100L, bench)).toDF("pid", "ptext")
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDecontaminate.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      probe, "pid", "ptext", n = 3, minHits = 3L) { (kept, batchId) =>
+      survivors.synchronized {
+        survivors ++= kept.select("doc_id").collect().map(r => (batchId, r.getLong(0)))
+      }
+    }.start()
+    try {
+      input.addData((1L, clean1), (2L, bench))                      // 2 leaks verbatim
+      q.processAllAvailable()
+      input.addData((3L, "prefix " + bench + " suffix"), (4L, clean2)) // 3 leaks embedded
+      q.processAllAvailable()
+      assert(survivors.map(_._2).toSet === Set(1L, 4L))
+      // verdicts landed in their own batch (stateless per trigger)
+      assert(survivors.toSet === Set((0L, 1L), (1L, 4L)))
+    } finally q.stop()
+  }
 }

@@ -523,6 +523,18 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // ---- text: unicode NFC normalization (native codegen Expression) ------------------------------------
+    // The corpus is ASCII, so a decomposed suffix (e + combining acute,
+    // angstrom sign) is appended deterministically; NFC composes both
+    // (merging a codepoint), which the oracle reproduces via nfc_normalize.
+    "q_text_normalize" -> ((s, dir) => {
+      val messy = concat(col("text"), lit(" cafe\u0301 \u212B")) // decomposed acute + angstrom sign
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.normalizeUnicode(messy).as("nfc"),
+        length(TextOps.normalizeUnicode(messy)).cast("long").as("nfc_len"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------------------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", col("text"), "image/fake")
@@ -930,6 +942,12 @@ object SparkEntry {
                     list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
                       w -> (CAST(length(w) AS BIGINT) * 131 + ascii(substring(w, 1, 1))) % 1000000007)),
                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+         FROM documents""",
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+                nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)) AS nfc,
+                CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491))) AS BIGINT) AS nfc_len
          FROM documents""",
 
     "q_multimodal_meta" ->

@@ -19,6 +19,14 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — the canonical first
+    * step of text ingestion: composed vs decomposed forms of the same text
+    * otherwise break exact dedup, fingerprints and token counts. A native
+    * codegen Expression (graft.functions.UnicodeNormalize) with an
+    * allocation-free fast path for already-normalized input. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalize(text, form)
+
   /** BPE-ish token count: alpha runs, digit runs, and single non-space symbols
     * each count as one token (the usual pre-tokenizer regex shape). */
   def tokenCountBpeIsh(text: Column): Column =

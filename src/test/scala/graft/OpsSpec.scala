@@ -328,6 +328,26 @@ class OpsSpec extends SparkSpec {
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
   }
 
+  test("unicode normalization: NFC composes, NFKC folds compatibility chars, nulls pass through") {
+    val df = Seq(
+      (1L, "cafe\u0301"),       // e + combining acute -> e-acute
+      (2L, "\u212B"),           // angstrom sign -> A-ring (U+00C5)
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "\uFB01nal")         // fi-ligature: NFC keeps, NFKC expands
+    ).toDF("id", "s")
+    val out = df.select($"id",
+      TextOps.normalizeUnicode($"s").as("nfc"),
+      TextOps.normalizeUnicode($"s", "NFKC").as("nfkc"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("caf\u00e9", "caf\u00e9")))
+    assert(out(2L) === (("\u00c5", "\u00c5")))
+    assert(out(3L) === (("plain ascii", "plain ascii")))
+    assert(out(4L) === ((null, null)))
+    assert(out(5L) === (("\uFB01nal", "final")))
+    intercept[IllegalArgumentException](TextOps.normalizeUnicode($"s", "NFX"))
+  }
+
   test("decontamination: planted benchmark leaks flagged with exact hit counts") {
     import graft.ops.Decontaminate
     val probe = docs.filter($"doc_id" % 25 === 0)

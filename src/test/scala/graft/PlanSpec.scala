@@ -142,5 +142,9 @@ class PlanSpec extends SparkSpec {
     val pSim = plan(d.select(col("doc_id"), graft.ops.Dedup.simhash(col("text")).as("sig")))
     assert(pSim.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
       s"simhash signature projection not codegen'd:\n$pSim")
+    val pNorm = plan(d.select(col("doc_id"),
+      graft.ops.TextOps.normalizeUnicode(col("text")).as("nfc")))
+    assert(pNorm.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"unicode_normalize projection not codegen'd:\n$pNorm")
   }
 }

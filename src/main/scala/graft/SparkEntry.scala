@@ -523,6 +523,27 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // ---- text: PII scrubbing (ordered codegen'd regexp chain; deterministic planted PII) -----------------
+    "q_text_pii" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel "),
+        (col("doc_id") + 9100000000L).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scrubPii(withPii).as("scrubbed"),
+          TextOps.piiCounts(withPii).as("p"))
+        .select(col("doc_id"), col("scrubbed"),
+          col("p.emails").as("emails"), col("p.ips").as("ips"), col("p.phones").as("phones"))
+    }),
+
+    // ---- text: within-doc repetition signals (Gopher-style quality filters; exact integer ratios) --------
+    "q_text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.top_word_count").as("top_word_count"), col("r.n_tokens").as("n_tokens"),
+          col("r.distinct_bigrams").as("distinct_bigrams"), col("r.n_bigrams").as("n_bigrams"))),
+
     // ---- text: unicode NFC normalization (native codegen Expression) ------------------------------------
     // The corpus is ASCII, so a decomposed suffix (e + combining acute,
     // angstrom sign) is appended deterministically; NFC composes both
@@ -943,6 +964,37 @@ object SparkEntry {
                       w -> (CAST(length(w) AS BIGINT) * 131 + ascii(substring(w, 1, 1))) % 1000000007)),
                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
          FROM documents""",
+
+    "q_text_pii" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+                  CAST(doc_id % 256 AS VARCHAR) || '.7 tel ' || CAST(doc_id + 9100000000 AS VARCHAR) AS t
+           FROM documents),
+         s1 AS (SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM w),
+         s2 AS (SELECT doc_id, emails,
+                       CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips,
+                       regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, emails, ips,
+                       CAST(len(regexp_extract_all(t, '\+?[0-9]{7,15}\b')) AS BIGINT) AS phones,
+                       regexp_replace(t, '\+?[0-9]{7,15}\b', '<PHONE>', 'g') AS t FROM s2)
+         SELECT doc_id, t AS scrubbed, emails, ips, phones FROM s3""",
+
+    "q_text_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+         b AS (SELECT doc_id, ts,
+                 CASE WHEN len(ts) >= 2 THEN [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+                      ELSE []::VARCHAR[] END AS bg
+               FROM tok)
+         SELECT doc_id,
+                CAST(COALESCE(list_max(list_transform(list_distinct(ts), w -> len(list_filter(ts, x -> x = w)))), 0) AS BIGINT) AS top_word_count,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(bg)) AS BIGINT) AS distinct_bigrams,
+                CAST(len(bg) AS BIGINT) AS n_bigrams
+         FROM b""",
 
     "q_text_normalize" ->
       """SELECT doc_id,

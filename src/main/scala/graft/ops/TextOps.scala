@@ -98,4 +98,50 @@ object TextOps {
   def fingerprint(text: Column, wordHash: Column => Column = simpleWordHash): Column =
     aggregate(tokens(text), lit(0L),
       (acc, w) => pmod(acc * 31L + wordHash(w), lit(FingerprintMod)))
+
+  /** PII redaction patterns, applied IN ORDER (emails first, so a digit-heavy
+    * local part can't be half-eaten by the phone rule). Every pattern is valid
+    * under both Java regex and RE2 (no lookaround/backrefs), so another engine
+    * reproduces the scrub byte-for-byte. Conservative recall by design — a
+    * production pipeline extends this table; the operator shape (ordered
+    * regexp_replace chain, all codegen'd) is the point. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9]{7,15}\\b" -> "<PHONE>")
+
+  /** Text with emails, IPv4s and phone-shaped digit runs redacted. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Per-category redaction counts (emails, ips, phones), counted on the same
+    * progressively-scrubbed text as [[scrubPii]] — so a digit run inside an
+    * email is an email, never also a phone. */
+  def piiCounts(text: Column): Column = {
+    val (counts, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, c), (re, tag)) =>
+        val cnt = size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+        val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase + "s"
+        (acc :+ cnt.as(name), regexp_replace(c, re, tag))
+    }
+    struct(counts: _*)
+  }
+
+  /** Within-document repetition signals (the Gopher/MassiveText-style quality
+    * filters: pages dominated by one word or by repeated n-grams are
+    * boilerplate). Exact integer numerators/denominators, not float ratios —
+    * bit-stable across engines; thresholding (e.g. top_word_count/n_tokens >
+    * 0.2) is the caller's policy. */
+  def repetitionSignals(text: Column): Column = {
+    val ws = tokens(text)
+    val topWord = array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    struct(
+      coalesce(topWord, lit(0)).cast("long").as("top_word_count"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(bigrams)).cast("long").as("distinct_bigrams"),
+      size(bigrams).cast("long").as("n_bigrams"))
+  }
 }

@@ -328,6 +328,40 @@ class OpsSpec extends SparkSpec {
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
   }
 
+  test("PII scrubbing: ordered redaction, counts follow the scrub (email digits are not phones)") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@ex-ample.co.uk now"),
+      (2L, "server at 192.168.001.42 port"),
+      (3L, "call +14155550123 or 5551234567"),
+      (4L, "user12345678@corp.io"), // digit-heavy local part: email, NOT phone
+      (5L, "clean text with no pii")
+    ).toDF("id", "s")
+    val out = df.select($"id", TextOps.scrubPii($"s").as("sc"), TextOps.piiCounts($"s").as("p"))
+      .select($"id", $"sc", $"p.emails", $"p.ips", $"p.phones")
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "mail <EMAIL> now" && out(1L)._3 === 1L)
+    assert(out(2L)._2 === "server at <IP> port" && out(2L)._4 === 1L)
+    assert(out(3L)._2 === "call <PHONE> or <PHONE>" && out(3L)._5 === 2L)
+    assert(out(4L)._2 === "<EMAIL>" && out(4L)._3 === 1L && out(4L)._5 === 0L)
+    assert(out(5L)._2 === "clean text with no pii" && (out(5L)._3 + out(5L)._4 + out(5L)._5) === 0L)
+  }
+
+  test("repetition signals: exact integer ratios; degenerate repeated-word doc flagged") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are distinct tokens"),
+      (3L, "one"),
+      (4L, "")
+    ).toDF("id", "s")
+    val out = df.select($"id", TextOps.repetitionSignals($"s").as("r"))
+      .select($"id", $"r.top_word_count", $"r.n_tokens", $"r.distinct_bigrams", $"r.n_bigrams")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 4L, 1L, 3L))) // "spam spam" bigram repeats
+    assert(out(2L) === ((2L, 1L, 6L, 5L, 5L)))
+    assert(out(3L) === ((3L, 1L, 1L, 0L, 0L)))
+    assert(out(4L) === ((4L, 0L, 0L, 0L, 0L)))
+  }
+
   test("unicode normalization: NFC composes, NFKC folds compatibility chars, nulls pass through") {
     val df = Seq(
       (1L, "cafe\u0301"),       // e + combining acute -> e-acute

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  // one JITed pass per document (graft.functions.NgramHashes) — the HOF
+  // shingle pipeline (transform/slice interpreted per element) measured 6x
+  // slower on this exact query shape; values are bit-identical to
+  // xxhash64(explode(array_distinct(shingles)))
   private def hashedNgrams(df: DataFrame, id: String, text: String, idOut: String, n: Int) =
-    df.select(col(id).as(idOut), explode(TextOps.shingles(col(text), n)).as("__g"))
-      .select(col(idOut), xxhash64(col("__g")).as("__h"))
+    df.select(col(id).as(idOut),
+      explode(graft.functions.NgramHashes(col(text), n)).as("__h"))
 
   /** The probe side's hashed n-grams (probe_id, __h) — compute ONCE and
     * persist when the same probe set screens many corpora or micro-batches

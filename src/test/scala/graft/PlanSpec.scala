@@ -146,5 +146,13 @@ class PlanSpec extends SparkSpec {
       graft.ops.TextOps.normalizeUnicode(col("text")).as("nfc")))
     assert(pNorm.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
       s"unicode_normalize projection not codegen'd:\n$pNorm")
+    val pRep = plan(d.select(col("doc_id"),
+      graft.ops.TextOps.repetitionSignals(col("text")).as("r")))
+    assert(pRep.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"repetition_stats projection not codegen'd:\n$pRep")
+    val pNg = plan(d.select(col("doc_id"),
+      graft.functions.NgramHashes(col("text"), 3).as("g")))
+    assert(pNg.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"ngram_hashes projection not codegen'd:\n$pNg")
   }
 }

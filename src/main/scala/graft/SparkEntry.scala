@@ -978,8 +978,8 @@ object SparkEntry {
                        CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips,
                        regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id, emails, ips,
-                       CAST(len(regexp_extract_all(t, '\+?[0-9]{7,15}\b')) AS BIGINT) AS phones,
-                       regexp_replace(t, '\+?[0-9]{7,15}\b', '<PHONE>', 'g') AS t FROM s2)
+                       CAST(len(regexp_extract_all(t, '\+[0-9]{7,}\b|\b[0-9]{7,}\b')) AS BIGINT) AS phones,
+                       regexp_replace(t, '\+[0-9]{7,}\b|\b[0-9]{7,}\b', '<PHONE>', 'g') AS t FROM s2)
          SELECT doc_id, t AS scrubbed, emails, ips, phones FROM s3""",
 
     "q_text_repetition" ->

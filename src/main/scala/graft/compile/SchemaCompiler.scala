@@ -132,11 +132,14 @@ object SchemaCompiler {
       // only/except filters (they are defined inside the parent module,
       // reference: lib/schema.ex:369-387); module embeds keep their own.
       // Packs inherit only when the embed kept the defaults — an embed that
-      // registered its own pipeline is explicit and wins.
+      // registered its own pipeline is explicit and wins. Identity (eq), not
+      // ==: an embed author listing the five built-ins BY HAND to opt out of
+      // the parent's custom packs would be value-equal to RulePack.defaults
+      // and silently inherit anyway.
       val childSchema =
         if (e.inline && e.schema.only.isEmpty && e.schema.except.isEmpty)
           e.schema.copy(only = spec.only, except = spec.except,
-            packs = if (e.schema.packs == RulePack.defaults) spec.packs else e.schema.packs)
+            packs = if (e.schema.packs eq RulePack.defaults) spec.packs else e.schema.packs)
         else e.schema
       val (raw, tOpt) = resolve(e.input)
       tOpt match {

@@ -85,8 +85,11 @@ case object FInteger extends FType {
   def castExpr(c: Column, in: DataType): Column = in match {
     case dt if FType.isIntegral(dt) => c.cast(LongType)
     case _: StringType =>
-      when(c.rlike("^[+-]?[0-9]{1,18}$"), c.cast(LongType))
-        .when(!c.rlike("^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"), nullOf)
+      // \z, not $: Java's $ also matches just before a FINAL line terminator
+      // (U+2028/U+2029/U+0085), so "123"+U+2028 would take the plain-cast
+      // branch and THROW under ANSI (Spark trims only chars <= 0x20)
+      when(c.rlike("^[+-]?[0-9]{1,18}\\z"), c.cast(LongType))
+        .when(!c.rlike("^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*\\z"), nullOf)
         .otherwise(c.try_cast(LongType))
     case _ => nullOf
   }
@@ -146,12 +149,17 @@ case object FBoolean extends FType {
 }
 
 /** Fast rejection for string->date/timestamp casts (same exception-path issue
-  * as [[FloatScreen]]): a castable string starts, after <= 0x20 trimming,
-  * with an optional sign + digit (ISO shapes, extended years) or one of the
-  * special words now/today/epoch/yesterday/tomorrow — screen on the first
-  * significant character, exact for rejection. */
+  * as [[FloatScreen]]): a castable DATE string starts, after <= 0x20
+  * trimming, with an optional sign + digit (ISO shapes, extended years).
+  * Special words (now/today/epoch/yesterday/tomorrow) are NOT accepted by
+  * casts since Spark 3.2 (typed literals only) — verified empirically and
+  * pinned by the edge corpus in ValidatorSpec, so letters reject outright.
+  * Timestamps additionally accept a time-only form with a literal leading
+  * 'T' — uppercase at position 0 only ("t10:00" and " T10:00" are both
+  * rejected by the parser; also verified empirically). */
 private[dsl] object DateScreen {
-  val maybeValid = "^[\\x00-\\x20]*([+-]?[0-9]|[nNtTeEyY])"
+  val maybeValidDate = "^[\\x00-\\x20]*[+-]?[0-9]"
+  val maybeValidTs = "^[\\x00-\\x20]*[+-]?[0-9]|^T"
 }
 
 case object FDate extends FType {
@@ -160,7 +168,7 @@ case object FDate extends FType {
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: DateType   => c
     case _: StringType =>
-      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(DateType))
+      when(!c.rlike(DateScreen.maybeValidDate), nullOf).otherwise(c.try_cast(DateType))
     case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)
@@ -173,7 +181,7 @@ case object FNaiveDatetime extends FType {
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: TimestampNTZType | _: TimestampType => c.cast(sparkType)
     case _: StringType =>
-      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(sparkType))
+      when(!c.rlike(DateScreen.maybeValidTs), nullOf).otherwise(c.try_cast(sparkType))
     case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)
@@ -186,7 +194,7 @@ case object FUtcDatetime extends FType {
   def castExpr(c: Column, in: DataType): Column = in match {
     case _: TimestampType | _: TimestampNTZType => c.cast(sparkType)
     case _: StringType =>
-      when(!c.rlike(DateScreen.maybeValid), nullOf).otherwise(c.try_cast(sparkType))
+      when(!c.rlike(DateScreen.maybeValidTs), nullOf).otherwise(c.try_cast(sparkType))
     case _ => nullOf
   }
   override def dumpExpr(c: Column): Column = c.cast(StringType)

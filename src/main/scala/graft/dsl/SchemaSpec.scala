@@ -2,6 +2,7 @@ package graft.dsl
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType}
 
 /** Expression context handed to user rule lambdas: resolves sibling field
   * columns (current pipeline values) and run-level bindings (compiled to
@@ -223,10 +224,14 @@ case class FieldSpec(
     case v                => v
   })
   private def v(x: Validator): FieldSpec = copy(validators = validators :+ x)
-  private def lenUnit: String = FType.underlying(ftype) match {
-    case FArray(_) => "items"
-    case FBinary   => "bytes"
-    case _         => "characters"
+  // dispatch on the CAST column's Spark type, not FType.underlying: the
+  // underlying() unwrap stops at any dumpOverride (a dump-typing concern),
+  // which would give a dump-customized FCustom-over-FArray field length unit
+  // "characters" and an AnalysisException at validate time
+  private def lenUnit: String = ftype.sparkType match {
+    case _: ArrayType  => "items"
+    case _: BinaryType => "bytes"
+    case _             => "characters"
   }
 }
 

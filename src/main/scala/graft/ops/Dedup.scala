@@ -21,15 +21,25 @@ final case class AuditedPairs(
     pairs: DataFrame, audit: Observation, recompute: () => (Long, Long)) {
   private lazy val resolved: (Long, Long) = {
     // never block on Observation.get (it waits indefinitely if no action on
-    // `pairs` ran yet): give the async listener a short grace window, then
-    // fall back to the explicit recompute pass
+    // `pairs` ran yet): give the async listener a grace window
+    // (spark.graft.auditWaitSec, default 2 — raise on busy clusters whose
+    // listener bus lags), then fall back to the explicit recompute pass
+    val waitSec = java.lang.Long.getLong("spark.graft.auditWaitSec", 2L)
     val completed =
-      try { scala.concurrent.Await.ready(audit.future, scala.concurrent.duration.Duration(2, "s")); true }
+      try { scala.concurrent.Await.ready(audit.future, scala.concurrent.duration.Duration(waitSec, "s")); true }
       catch { case _: java.util.concurrent.TimeoutException => false }
     val m = if (completed) audit.get else Map.empty[String, Any]
     if (m.contains("dropped_buckets"))
       (m("dropped_buckets").asInstanceOf[Long], m("dropped_ids").asInstanceOf[Long])
-    else recompute()
+    else {
+      // loud, not silent: this is a SECOND aggregate pass over the bands —
+      // either no action ran on `pairs` yet, or the listener outwaited the
+      // grace window (AQE empty-relation pruning also lands here by design)
+      System.err.println(
+        s"[graft] dedup audit observation not delivered within ${waitSec}s — " +
+          "recomputing drop counts with an explicit aggregate pass")
+      recompute()
+    }
   }
   /** Buckets excluded by the cap (call AFTER an action on `pairs`). */
   def droppedBuckets: Long = resolved._1

@@ -105,10 +105,15 @@ object TextOps {
     * reproduces the scrub byte-for-byte. Conservative recall by design — a
     * production pipeline extends this table; the operator shape (ordered
     * regexp_replace chain, all codegen'd) is the point. */
+  // phone: whole digit runs only, bounded on BOTH sides — '[0-9]{7,15}\b'
+  // alone would partially redact a 16-digit card ("1<PHONE>", leaking the
+  // lead digit) and eat the digit tail of identifiers ("ID<PHONE>"); with \b
+  // on both ends a digit run inside a word token is left intact (an
+  // identifier, not a phone) and a standalone run is consumed WHOLE
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
-    "\\+?[0-9]{7,15}\\b" -> "<PHONE>")
+    "\\+[0-9]{7,}\\b|\\b[0-9]{7,}\\b" -> "<PHONE>")
 
   /** Text with emails, IPv4s and phone-shaped digit runs redacted. */
   def scrubPii(text: Column): Column =

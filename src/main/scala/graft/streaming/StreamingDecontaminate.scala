@@ -18,7 +18,14 @@ object StreamingDecontaminate {
 
   /** Configured writer that, per micro-batch, hands `sink` the batch MINUS
     * documents colliding with the probe set at >= minHits shared n-grams.
-    * Caller starts/stops the query (and sets trigger/checkpoint options). */
+    * Caller starts/stops the query (and sets trigger/checkpoint options).
+    *
+    * `sink` must MATERIALIZE its DataFrame before returning (write/collect/
+    * foreach): the micro-batch is persisted around the two references the
+    * operator makes (flag pass + anti-join — unpersisted, each would re-read
+    * the source) and is unpersisted when `sink` returns. The probe's hashed
+    * n-grams stay cached for the life of the query; they are released only
+    * with the session (a benchmark probe is small by construction). */
   def decontaminateStream(
       stream: DataFrame, idCol: String, textCol: String,
       probe: DataFrame, probeIdCol: String, probeTextCol: String,
@@ -27,10 +34,13 @@ object StreamingDecontaminate {
     val probeHashed =
       Decontaminate.probeHashes(probe, probeIdCol, probeTextCol, n).persist()
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val flagged = Decontaminate
-        .ngramCollisionsAgainst(batch, idCol, textCol, probeHashed, n, minHits)
-        .select(col("id").as(idCol)).distinct()
-      sink(batch.join(flagged, Seq(idCol), "left_anti"), batchId)
+      val b = batch.persist()
+      try {
+        val flagged = Decontaminate
+          .ngramCollisionsAgainst(b, idCol, textCol, probeHashed, n, minHits)
+          .select(col("id").as(idCol)).distinct()
+        sink(b.join(flagged, Seq(idCol), "left_anti"), batchId)
+      } finally b.unpersist()
     }
   }
 }

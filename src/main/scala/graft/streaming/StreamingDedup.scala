@@ -94,13 +94,17 @@ object StreamingDedup {
               .filterNot(f => prior.exists(_._1 == f._1))
             val out = Seq.newBuilder[NearDupPair]
             var seen = prior
-            for ((id, sig) <- fresh) {
+            // a doc that would overflow the bucket neither verifies nor
+            // stores — the cap cuts emission and accumulation at the SAME
+            // doc, so a pair is never detected-or-missed depending on which
+            // micro-batch boundary the saturation landed on
+            for ((id, sig) <- fresh if seen.size < maxBucket) {
               for ((pid, psig) <- seen) {
                 val h = dist(sig, psig)
                 if (h <= maxHamming)
                   out += NearDupPair(math.min(pid, id), math.max(pid, id), h)
               }
-              if (seen.size < maxBucket) seen = seen :+ ((id, sig))
+              seen = seen :+ ((id, sig))
             }
             state.update(seen)
             out.result().iterator

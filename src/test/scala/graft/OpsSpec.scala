@@ -334,7 +334,8 @@ class OpsSpec extends SparkSpec {
       (2L, "server at 192.168.001.42 port"),
       (3L, "call +14155550123 or 5551234567"),
       (4L, "user12345678@corp.io"), // digit-heavy local part: email, NOT phone
-      (5L, "clean text with no pii")
+      (5L, "clean text with no pii"),
+      (6L, "card 1234567890123456 id ID12345678") // 16-digit run: WHOLE run redacted; word-embedded digits untouched
     ).toDF("id", "s")
     val out = df.select($"id", TextOps.scrubPii($"s").as("sc"), TextOps.piiCounts($"s").as("p"))
       .select($"id", $"sc", $"p.emails", $"p.ips", $"p.phones")
@@ -344,6 +345,7 @@ class OpsSpec extends SparkSpec {
     assert(out(3L)._2 === "call <PHONE> or <PHONE>" && out(3L)._5 === 2L)
     assert(out(4L)._2 === "<EMAIL>" && out(4L)._3 === 1L && out(4L)._5 === 0L)
     assert(out(5L)._2 === "clean text with no pii" && (out(5L)._3 + out(5L)._4 + out(5L)._5) === 0L)
+    assert(out(6L)._2 === "card <PHONE> id ID12345678" && out(6L)._5 === 1L)
   }
 
   test("repetition signals: exact integer ratios; degenerate repeated-word doc flagged") {

@@ -192,6 +192,17 @@ class PropertySpec extends SparkSpec {
     val r2 = Validator.validate(parent, df2)
     assert(r2.violations.select("constraint_id").as[String].collect().toSet ===
       Set("child.note.banned"))
+    // an inline embed that EXPLICITLY lists the five built-ins by hand has
+    // opted out of the parent's custom packs (identity sentinel, not value
+    // equality: the hand-built Seq is == RulePack.defaults but not eq)
+    val optOut = SchemaSpec("child", Seq(Field.string("note")),
+      packs = Seq(BlockPack, PreTransformsPack, WhenPack, EctoValidationsPack, PostTransformsPack))
+    val parent2 = SchemaSpec("p3", fields, keyColumns = Seq("id"),
+      embeds = Seq(EmbedSpec("child", optOut, inline = true)),
+      packs = RulePack.defaults :+ BannedPack)
+    val r3 = Validator.validate(parent2, df2)
+    assert(!r3.violations.select("constraint_id").as[String].collect().toSet
+      .contains("child.note.banned"))
   }
 
   test("M4 template fields merge in; M5 reflections; P7 attributes") {

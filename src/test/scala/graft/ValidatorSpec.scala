@@ -378,6 +378,19 @@ class ValidatorSpec extends SparkSpec {
     assert(d.select("uid").as[String].collect().head === "8")
   }
 
+  test("length unit follows the cast column's Spark type through dump-customized custom types") {
+    // a dump override is a serialization concern: it must not flip an
+    // array-typed field's length validators to length(string) (which would
+    // be an AnalysisException at validate time)
+    val Tags = FCustom("tags", FArray(FInteger),
+      dumpOverride = Some((c: org.apache.spark.sql.Column) => to_json(c)))
+    val spec = SchemaSpec("s",
+      Seq(Field.of("tags", Tags).lenMax(2)), keyColumns = Seq("id"))
+    val df = Seq((1, Seq(1L, 2L, 3L)), (2, Seq(9L))).toDF("id", "tags")
+    assert(viols(Validator.validate(spec, df)) === Set(
+      ("1", "tags.max", "should have at most 2 item(s)")))
+  }
+
   test("orThrow raises on invalid with sample (E3 new!)") {
     val spec = SchemaSpec("s", Seq(Field.integer("n").req.gt(10)), keyColumns = Seq("id"))
     val bad = Seq((1, 5L)).toDF("id", "n")
@@ -408,7 +421,10 @@ class ValidatorSpec extends SparkSpec {
     // the pre-screen must never disagree with try_cast (oracle parity)
     val edges = Seq(" 42 ", "42", "+7", "-0008", "42.0", "",
       "9223372036854775807", "-9223372036854775808", "92233720368547758070",
-      "x1", "\t13\n", "1_0", "0x1A", "١٢٣", "+", "-", "99999999999999999999999")
+      "x1", "\t13\n", "1_0", "0x1A", "١٢٣", "+", "-", "99999999999999999999999",
+      // Java regex $ matches before a FINAL line terminator; \\z anchoring
+      // keeps these off the throwing plain-cast branch
+      "123\u2028", "123\u2029", "123\u0085")
     val df = edges.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
     val got = df.select($"id", FInteger.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast"),
       expr("try_cast(s AS bigint)").as("exact")).collect()
@@ -433,7 +449,10 @@ class ValidatorSpec extends SparkSpec {
     // date/timestamp screen: rejection agrees with try_cast incl. special words
     val dEdges = Seq("2024-05-06", " 2024-5-6 ", "2024-05-06T07:08:09", "now",
       "today", "TOMORROW", "epoch", "Yesterday", "banana", "energy-drink",
-      "not-a-date", "+10000-01-01", "05/06/2024", "", "T10:00:00")
+      "not-a-date", "+10000-01-01", "05/06/2024", "", "T10:00:00",
+      // T is uppercase-position-0 only; special words are typed-literal-only
+      // (not cast-accepted) since Spark 3.2; time-only forms ARE timestamps
+      "t10:00", " T10:00", "10:00", "none", "yes", "error", "true", "-0001-01-01")
     val ddf = dEdges.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
     val dgot = ddf.select($"id",
       FDate.castExpr($"s", org.apache.spark.sql.types.StringType).as("fast"),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsl._
-import graft.ops.{Components, Decontaminate, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Decontaminate, Dedup, Multimodal, Sharding, Similarity, TextOps}
 import graft.run.Validator
 import graft.suite.Checks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -523,6 +523,17 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // ---- sharding: deterministic train/val/test split (md5 unit hash — engine-reproducible) --------------
+    "q_hash_split" -> ((s, dir) =>
+      Sharding.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .select(col("doc_id"), col("split"))),
+
+    // ---- sharding: shard-local sequence packing by cost budget -------------------------------------------
+    "q_pack_bins" -> ((s, dir) =>
+      Sharding.packByCostBudget(t(s, dir, "documents"), "source", "doc_id", "n_chars", 10000L)
+        .select(col("doc_id"), col("bin"))),
+
     // ---- text: PII scrubbing (ordered codegen'd regexp chain; deterministic planted PII) -----------------
     "q_text_pii" -> ((s, dir) => {
       val withPii = concat(col("text"),
@@ -963,6 +974,18 @@ object SparkEntry {
                     list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
                       w -> (CAST(length(w) AS BIGINT) * 131 + ascii(substring(w, 1, 1))) % 1000000007)),
                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+         FROM documents""",
+
+    "q_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT) / 4294967296.0 AS u
+               FROM documents)""",
+
+    "q_pack_bins" ->
+      """SELECT doc_id,
+                CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars) / 10000.0) AS BIGINT) AS bin
          FROM documents""",
 
     "q_text_pii" ->

@@ -328,6 +328,52 @@ class OpsSpec extends SparkSpec {
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
   }
 
+  test("hash split: deterministic, repartition-stable, weights approximately honored") {
+    import graft.ops.Sharding
+    val split = Sharding.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select($"doc_id", $"split").cache()
+    val byName = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train").toDouble / nDocs > 0.7 && byName("train").toDouble / nDocs < 0.9)
+    // value-keyed: identical under repartition/reorder
+    val again = Sharding.hashSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select($"doc_id", $"split")
+    assert(split.as[(Long, String)].collect().toSet === again.as[(Long, String)].collect().toSet)
+    // a different salt re-rolls; growing the corpus never moves existing rows
+    val rerolled = Sharding.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v2")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(rerolled !== split.as[(Long, String)].collect().toSet)
+    val grown = Sharding.hashSplit(docs.limit(100), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val full = split.as[(Long, String)].collect().toMap
+    grown.foreach { case (id, sp) => assert(full(id) === sp) }
+    split.unpersist()
+  }
+
+  test("cost-budget packing: bins fill in order within each shard, never globally sorted") {
+    import graft.ops.Sharding
+    val packed = Sharding.packByCostBudget(docs, "source", "doc_id", "n_chars", 1000L)
+      .select($"source", $"doc_id", $"n_chars", $"bin")
+      .as[(String, Long, Long, Long)].collect()
+    // per shard: bin = exclusive prefix sum / budget, recomputed on the driver
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, cost, bin) =>
+        assert(bin === cum / 1000L, s"bin mismatch at cum=$cum")
+        cum += cost
+      }
+    }
+    // bins are dense from 0 within each shard
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.head === 0L && bins === (bins.head to bins.last))
+    }
+  }
+
   test("PII scrubbing: ordered redaction, counts follow the scrub (email digits are not phones)") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-ample.co.uk now"),

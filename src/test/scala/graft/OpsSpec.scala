@@ -486,6 +486,17 @@ class OpsSpec extends SparkSpec {
     assert(got(1199L) === 1000L && got(10L) === 10L && got(5000L) === 4999L)
   }
 
+  test("connected components: string ids work; non-convergence throws instead of silent partials") {
+    val strEdges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(strEdges, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "id_a", "id_b", maxRounds = 1)
+    }
+  }
+
   test("near-dup groups + dedupByPairs: planted dup clusters collapse to one representative") {
     val pairs = Dedup.minhashNearDups(dupDocs, "doc_id", "text", threshold = 0.8)
     val groups = Components.nearDupGroups(pairs)

@@ -150,13 +150,7 @@ object MinHashSig {
     * previous pmod(xxhash64(shingle), p) Column pipeline. */
   def compute(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
     val (as, bs) = coeffs(k, seed)
-    val toks0 = text.toString.split("\\s+")
-    var nonEmpty = 0
-    var i = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) nonEmpty += 1; i += 1 }
-    val toks = new Array[String](nonEmpty)
-    i = 0; var j = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }; i += 1 }
+    val toks = TextTok.words(text.toString)
     val acc = Array.fill(k)(MersennePrime31)
     def fold(shingle: String): Unit = {
       val raw = XXH64.hashUTF8String(UTF8String.fromString(shingle), 42L)

@@ -43,16 +43,29 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object NgramHashes {
-  /** Static so generated code can call it. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val toks0 = text.toString.split("\\s+")
+/** Shared whitespace tokenizer for the native text expressions — exactly
+  * `split("\\s+")` with empties dropped (the same token stream TextOps.tokens
+  * and the DuckDB oracles use). */
+private[functions] object TextTok {
+  def words(s: String): Array[String] = {
+    val toks0 = s.split("\\s+")
     var nonEmpty = 0
     var i = 0
     while (i < toks0.length) { if (toks0(i).nonEmpty) nonEmpty += 1; i += 1 }
-    val toks = new Array[String](nonEmpty)
-    i = 0; var j = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }; i += 1 }
+    if (nonEmpty == toks0.length) toks0
+    else {
+      val toks = new Array[String](nonEmpty)
+      i = 0; var j = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }; i += 1 }
+      toks
+    }
+  }
+}
+
+object NgramHashes {
+  /** Static so generated code can call it. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = TextTok.words(text.toString)
     def hash(s: String): Long = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
     if (toks.length < n) {
       new GenericArrayData(Array(hash(toks.mkString(" "))))

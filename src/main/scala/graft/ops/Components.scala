@@ -82,7 +82,7 @@ object Components {
 
     var cur = truncate(canonical(edges, srcCol, dstCol))
     var sig = checksum(cur)
-    var converged = cur.isEmpty
+    var converged = sig._1 == 0 // empty edge set: nothing to do
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1

@@ -59,10 +59,18 @@ object Decontaminate {
   def decontaminate(
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
       probe: DataFrame, probeIdCol: String, probeTextCol: String,
-      n: Int = 13, minHits: Long = 1L): DataFrame = {
-    val flagged = ngramCollisions(
-      corpus, corpusIdCol, corpusTextCol, probe, probeIdCol, probeTextCol, n, minHits)
-      .select(col("id").as(corpusIdCol)).distinct()
+      n: Int = 13, minHits: Long = 1L): DataFrame =
+    decontaminateAgainst(corpus, corpusIdCol, corpusTextCol,
+      probeHashes(probe, probeIdCol, probeTextCol, n), n, minHits)
+
+  /** [[decontaminate]] against a precomputed [[probeHashes]] frame (the
+    * streaming flavor reuses this per micro-batch). */
+  def decontaminateAgainst(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      probeHashed: DataFrame, n: Int, minHits: Long): DataFrame = {
+    val flagged =
+      ngramCollisionsAgainst(corpus, corpusIdCol, corpusTextCol, probeHashed, n, minHits)
+        .select(col("id").as(corpusIdCol)).distinct()
     corpus.join(flagged, Seq(corpusIdCol), "left_anti")
   }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.ops.Decontaminate
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming benchmark decontamination: a document's verdict depends only on
@@ -35,12 +34,8 @@ object StreamingDecontaminate {
       Decontaminate.probeHashes(probe, probeIdCol, probeTextCol, n).persist()
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val b = batch.persist()
-      try {
-        val flagged = Decontaminate
-          .ngramCollisionsAgainst(b, idCol, textCol, probeHashed, n, minHits)
-          .select(col("id").as(idCol)).distinct()
-        sink(b.join(flagged, Seq(idCol), "left_anti"), batchId)
-      } finally b.unpersist()
+      try sink(Decontaminate.decontaminateAgainst(b, idCol, textCol, probeHashed, n, minHits), batchId)
+      finally b.unpersist()
     }
   }
 }

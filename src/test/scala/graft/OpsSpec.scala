@@ -328,6 +328,55 @@ class OpsSpec extends SparkSpec {
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
   }
 
+  test("training pipeline end-to-end: every stage removes exactly its planted artifacts") {
+    import graft.ops.TrainingPipeline
+    import graft.dsl.{Field, SchemaSpec}
+    // drop the generator's natural near-dup plants (token "dup") so stage
+    // counts are fully determined by what THIS test plants
+    val clean = docs.filter(!$"text".contains("dup")).select($"doc_id", $"text", $"lang")
+    val probe = clean.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 90000).as("pid"), $"text".as("ptext")).cache()
+    val base = clean.filter($"doc_id" % 25 =!= 0).cache()
+    val nExact = base.filter($"doc_id" % 5 === 0).count()
+    val nNearPlanted = base.filter($"doc_id" % 7 === 0).count()
+    val nLeaks = probe.count()
+    val corpus = base
+      .unionAll(base.filter($"doc_id" % 5 === 0).select($"doc_id" + 10000, $"text", $"lang"))
+      .unionAll(base.filter($"doc_id" % 7 === 0)
+        .select($"doc_id" + 20000, concat($"text", lit(" zzzz")), $"lang"))
+      .unionAll(probe.select($"pid" + 10000, $"ptext", lit("en")))
+      .unionAll(Seq((40000L, "spam spam spam spam spam spam spam spam", "en"),
+        (40001L, "a perfectly fine document text", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "lang"))
+      .toDF("doc_id", "text", "lang")
+
+    val res = TrainingPipeline.run(
+      corpus, "doc_id", "text",
+      schema = Some(SchemaSpec("d", Seq(Field.string("lang").req), keyColumns = Seq("doc_id"))),
+      probe = Some((probe, "pid", "ptext")),
+      maxTopWordPct = 60,
+      splits = Seq("train" -> 0.9, "val" -> 0.1), splitSalt = "pipe",
+      packBudget = Some(500L))
+    val rep = res.report
+    assert(rep.input === corpus.count())
+    assert(rep.invalid === 1)                      // the null-lang doc
+    assert(rep.exactDups === nExact)               // +10000 copies
+    assert(rep.nearDups >= (nNearPlanted * 0.8).toLong && rep.nearDups <= nNearPlanted)
+    assert(rep.contaminated === nLeaks)            // +100000-ids leak copies
+    assert(rep.lowQuality === 1)                   // the spam doc
+    assert(rep.output === rep.input - rep.removed)
+    val out = res.corpus.cache()
+    assert(out.count() === rep.output)
+    // only LSH-missed near-dup copies may survive (recall tolerance above);
+    // every exact dup, leak and junk plant is gone
+    val survivors = out.filter($"doc_id" >= 10000).select("doc_id").as[Long].collect()
+    assert(survivors.forall(id => id >= 20000 && id < 30000), survivors.mkString(","))
+    assert(survivors.length === (nNearPlanted - rep.nearDups))
+    assert(out.select("split").distinct().as[String].collect().toSet === Set("train", "val"))
+    assert(out.filter($"bin" < 0).count() === 0)
+    out.unpersist(); probe.unpersist(); base.unpersist()
+  }
+
   test("hash split: deterministic, repartition-stable, weights approximately honored") {
     import graft.ops.Sharding
     val split = Sharding.hashSplit(docs, "doc_id",

@@ -250,7 +250,7 @@ object Field {
     FieldSpec(name, FMap(value, key))
   def time(name: String): FieldSpec = FieldSpec(name, FTime)
   def timeUsec(name: String): FieldSpec = FieldSpec(name, FTimeUsec)
-  def enum(name: String, mapping: (String, Any)*): FieldSpec = FieldSpec(name, FEnum(mapping))
+  def `enum`(name: String, mapping: (String, Any)*): FieldSpec = FieldSpec(name, FEnum(mapping))
   def union(name: String, branches: FType*): FieldSpec = FieldSpec(name, FUnion(branches))
   def unionLazy(name: String, branches: FType*): FieldSpec =
     FieldSpec(name, FUnion(branches, lazyInfer = true))

@@ -194,7 +194,7 @@ object Similarity {
 
   def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
     val json = spark.read.json(s"$indexDir/centroids")
-      .select("centroids").head.getString(0)
+      .select("centroids").head().getString(0)
     json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.toDouble).toSeq).toSeq
   }

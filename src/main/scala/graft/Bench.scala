@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** O(n^2)-by-design verification baselines; not scale paths.
-    * (q_dedup_groups' component step is the scale path, but its gate query
-    * feeds it brute-force Jaccard pairs for oracle reproducibility.) */
-  private val excluded = Set("q_dedup_ngram", "q_dedup_groups")
+    * (q_dedup_groups[_iso]'s component step is the scale path, but their gate
+    * queries feed it brute-force Jaccard pairs for oracle reproducibility.)
+    * AUTHORITATIVE battery-size source: battery = SparkEntry.queries.size
+    * minus this set — BASELINE.md and SURVEY §8 cite this derivation rather
+    * than restating the number. */
+  val excluded = Set("q_dedup_ngram", "q_dedup_groups", "q_dedup_groups_iso")
 
   private val benchLocalDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-local"

@@ -359,6 +359,31 @@ object SparkEntry {
       Validator.validate(spec, t(s, dir, "documents")).violations
     }),
 
+    // ---- M3 pack-declared field options (extension option DSL) ------------------------------------------
+    // A user pack DECLARES a new field option (divisible_by) with a validator;
+    // Field(...).opt(...) routes it to that pack through the eager-resolution
+    // seam (reference: lib/flint/extension/dsl.ex:1-57, lib/schema.ex:85-128).
+    "q_pack_option" -> ((s, dir) => {
+      object DivisiblePack extends RulePack {
+        val name = "divisible"
+        override val options = Seq(OptionSpec("divisible_by",
+          validator = Some { case n: Int => n > 0; case _ => false }))
+        def apply(spec: SchemaSpec, f: FieldSpec, st: RulePack.FieldState,
+            ctx: Ctx, prefix: Column): RulePack.Result =
+          spec.fieldOption(f, "divisible_by") match {
+            case Some(n: Int) => RulePack.Result(triggers = Seq(Trigger(
+              st.inChanges && st.value.isNotNull && pmod(st.value, lit(n)) =!= 0,
+              concat(prefix, lit(s"${f.name}.divisible_by")),
+              lit(s"must be divisible by $n"))))
+            case _ => RulePack.Result.empty
+          }
+      }
+      val spec = SchemaSpec("documents",
+        Seq(Field.integer("n_chars").opt("divisible_by", 3)),
+        keyColumns = Seq("doc_id"), packs = RulePack.defaults :+ DivisiblePack)
+      Validator.validate(spec, t(s, dir, "documents")).violations
+    }),
+
     // ---- E1 full pipeline (flagship) --------------------------------------------------------------------
     "q_validate_documents" -> ((s, dir) =>
       Validator.validate(flagshipSchema, docsDirty(s, dir)).violations),
@@ -431,6 +456,15 @@ object SparkEntry {
     "q_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairsBruteForce(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
       Components.nearDupGroups(pairs).select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // Same clustering, every document covered: edgeless docs are their own
+    // singleton components (the convenience wrapper unions them in).
+    "q_dedup_groups_iso" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", 3, 0.8)
+      Components.connectedComponentsWithIsolated(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
     }),
 
     // ---- decontamination: n-gram collisions corpus vs benchmark ----------------------------------------------------------
@@ -533,6 +567,18 @@ object SparkEntry {
     "q_pack_bins" -> ((s, dir) =>
       Sharding.packByCostBudget(t(s, dir, "documents"), "source", "doc_id", "n_chars", 10000L)
         .select(col("doc_id"), col("bin"))),
+
+    // ---- sharding: packing under the composite (split, md5-shard) key ------------------------------------
+    // The 100 TB shape: a coarse label alone (split: 1-3 values) would funnel
+    // each split's whole corpus through ONE window partition; the md5 shard
+    // column fans the window out `numShards`-wide per split.
+    "q_pack_shards" -> ((s, dir) => {
+      val sharded = Sharding.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .withColumn("shard", Sharding.shardColumn(col("doc_id"), 8, "v1"))
+      Sharding.packByCostBudget(sharded, Seq("split", "shard"), "doc_id", "n_chars", 5000L)
+        .select(col("doc_id"), col("split"), col("shard"), col("bin"))
+    }),
 
     // ---- text: PII scrubbing (ordered codegen'd regexp chain; deterministic planted PII) -----------------
     "q_text_pii" -> ((s, dir) => {
@@ -758,6 +804,11 @@ object SparkEntry {
          SELECT doc_id, 'text.dup_marker', 'contains planted dup marker'
          FROM documents WHERE text LIKE '%dup%'""",
 
+    "q_pack_option" ->
+      """SELECT doc_id, 'n_chars.divisible_by' AS constraint_id,
+                'must be divisible by 3' AS reason
+         FROM documents WHERE n_chars % 3 <> 0""",
+
     "q_validate_documents" -> flagshipOracleUnion,
 
     "q_summary" -> s"""
@@ -834,6 +885,20 @@ object SparkEntry {
         SELECT w.id, e.v FROM walk w JOIN e ON e.u = w.reach
       )
       SELECT id AS doc_id, MIN(reach) AS component FROM walk GROUP BY id""",
+
+    "q_dedup_groups_iso" -> s"""
+      WITH RECURSIVE p AS (${jaccardOracle(0.8)}),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      walk(id, reach) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN e ON e.u = w.reach
+      ),
+      cc AS (SELECT id AS doc_id, MIN(reach) AS component FROM walk GROUP BY id)
+      SELECT doc_id, component FROM cc
+      UNION ALL
+      SELECT d.doc_id, d.doc_id AS component FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)""",
 
     // SimHash recomputed bit-for-bit: md5 per token, two 60-bit words from hex
     // chars 1-15/16-30, +-1 votes per bit, sign fold. The banding in the engine
@@ -982,6 +1047,24 @@ object SparkEntry {
          FROM (SELECT doc_id,
                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT) / 4294967296.0 AS u
                FROM documents)""",
+
+    "q_pack_shards" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT) AS hv
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_chars,
+                  CASE WHEN hv / 4294967296.0 < 0.8 THEN 'train'
+                       WHEN hv / 4294967296.0 < 0.9 THEN 'val' ELSE 'test' END AS split,
+                  hv % 8 AS shard
+           FROM h)
+         SELECT doc_id, split, shard,
+                CAST(floor(COALESCE(sum(n_chars) OVER (
+                       PARTITION BY split, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0)
+                     AS BIGINT) AS bin
+         FROM s""",
 
     "q_pack_bins" ->
       """SELECT doc_id,

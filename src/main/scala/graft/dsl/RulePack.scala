@@ -44,6 +44,15 @@ object Viols {
 trait RulePack extends Serializable {
   def name: String
 
+  /** M3 for user packs: NEW field options this pack declares — `Field(...)
+    * .opt(name, value)` accepts them, and they are resolved (given value or
+    * default) and validated EAGERLY at [[SchemaSpec]] build, exactly like the
+    * reference's extension `option` DSL (reference:
+    * lib/flint/extension/dsl.ex:1-57 declaration, lib/schema.ex:85-128
+    * enforcement at field-declaration time). The pack reads resolved values in
+    * [[apply]] via `spec.fieldOption(field, name)`. */
+  def options: Seq[OptionSpec] = Nil
+
   /** M4: fields this pack appends to every schema using it
     * (reference: lib/extension.ex:207-229). */
   def templateFields: Seq[FieldSpec] = Nil
@@ -59,6 +68,19 @@ trait RulePack extends Serializable {
   def apply(spec: SchemaSpec, field: FieldSpec, state: RulePack.FieldState,
       ctx: Ctx, prefix: Column): RulePack.Result
 }
+
+/** One pack-declared field option (reference: lib/flint/extension/dsl.ex:1-57
+  * — name/default/required/validator; the reference's `eval` flag is n/a by
+  * design: Scala option values are already evaluated). `validator` receives
+  * the given (or defaulted) value and doubles as the type check, per the
+  * reference's convention. Enforcement is eager — a missing required option
+  * or a failing validator throws at [[SchemaSpec]] construction with the
+  * reference's raise text (lib/schema.ex:108-128). */
+case class OptionSpec(
+    name: String,
+    default: Option[Any] = None,
+    required: Boolean = false,
+    validator: Option[Any => Boolean] = None)
 
 object RulePack {
   /** A field's state when a pack runs: current value + membership in

@@ -192,7 +192,11 @@ case class FieldSpec(
     omitEmpty: Boolean = false,                  // P4 omitempty:
     ignore: Boolean = false,                     // P4 ignore:
     virtual: Boolean = false,                    // C5 passthrough
-    inputColumn: Option[String] = None           // source column (defaults to name)
+    inputColumn: Option[String] = None,          // source column (defaults to name)
+    /** M3: pack-declared extra options, as given (resolution against the
+      * enabled packs' [[OptionSpec]] declarations — defaults, required,
+      * validators — happens eagerly at [[SchemaSpec]] build). */
+    extraOptions: Map[String, Any] = Map.empty
 ) {
   def input: String = inputColumn.getOrElse(name)
   // fluent builders
@@ -218,6 +222,10 @@ case class FieldSpec(
   def json(name: String = null, omitempty: Boolean = false, skip: Boolean = false): FieldSpec =
     copy(jsonName = Option(name), omitEmpty = omitempty, ignore = skip)
   def from(col: String): FieldSpec = copy(inputColumn = Some(col))
+  /** M3: set a pack-declared option (e.g. `.opt("divisible_by", 3)`) —
+    * validated at schema build against the enabled packs' declarations. */
+  def opt(name: String, value: Any): FieldSpec =
+    copy(extraOptions = extraOptions + (name -> value))
   /** Ecto-exact :count => :graphemes for this field's length validators (V14). */
   def graphemes: FieldSpec = copy(validators = validators.map {
     case LengthV(k, n, _) => LengthV(k, n, "graphemes")
@@ -335,6 +343,47 @@ case class SchemaSpec(
 
   /** Registered packs that survive the only/except filter, execution order. */
   def enabledPacks: Seq[RulePack] = packs.filter(p => packEnabled(p.name))
+
+  // ---- M3 pack-declared field options: eager resolution + validation --------
+  // (reference declares options in the extension DSL, lib/flint/extension/
+  // dsl.ex:1-57, and enforces default/required/validator at field-declaration
+  // macro time, lib/schema.ex:85-128; the Scala analog of "declaration time"
+  // is SchemaSpec construction — a bad option never reaches validate())
+  private val declaredOptions: Map[String, OptionSpec] = {
+    val all = enabledPacks.flatMap(p => p.options.map(o => p.name -> o))
+    val dupOpt = all.groupBy(_._2.name).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupOpt.isEmpty,
+      s"option(s) declared by more than one enabled pack: ${dupOpt.mkString(",")}")
+    all.map { case (_, o) => o.name -> o }.toMap
+  }
+  private val resolvedFieldOptions: Map[String, Map[String, Any]] = allFields.map { f =>
+    val unknown = f.extraOptions.keys.filterNot(declaredOptions.contains)
+    require(unknown.isEmpty,
+      s"unknown option(s) ${unknown.mkString(",")} on field ${f.name} in schema $name; " +
+        s"enabled packs declare: ${declaredOptions.keys.toSeq.sorted.mkString(",")}")
+    val resolved = declaredOptions.values.flatMap { o =>
+      val value = f.extraOptions.get(o.name).orElse(o.default)
+      if (o.required && value.isEmpty)
+        throw new IllegalArgumentException( // reference raise text, lib/schema.ex:112-116
+          s"Required option ${o.name} on field ${f.name} not found.")
+      value.foreach { v =>
+        if (!o.validator.forall(_(v)))
+          throw new IllegalArgumentException( // reference raise text, lib/schema.ex:119-125
+            s"Value $v for option ${o.name} on field ${f.name} failed validation.")
+      }
+      value.map(o.name -> _)
+    }.toMap
+    f.name -> resolved
+  }.toMap
+
+  /** M3: a field's resolved pack-declared option (given value, else the
+    * declaring pack's default). Packs read this inside [[RulePack.apply]]. */
+  def fieldOption(field: FieldSpec, option: String): Option[Any] =
+    resolvedFieldOptions.getOrElse(field.name, Map.empty).get(option)
+
+  /** All resolved pack-declared options of a field (M5 reflection flavor). */
+  def fieldOptions(field: FieldSpec): Map[String, Any] =
+    resolvedFieldOptions.getOrElse(field.name, Map.empty)
 
   /** All fields incl. schema- and pack-level extension templates, in
     * declaration order (M4); declared fields win name collisions. */

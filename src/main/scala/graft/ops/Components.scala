@@ -102,6 +102,22 @@ object Components {
       .groupBy("id").agg(min("component").as("component"))
   }
 
+  /** [[connectedComponents]] plus every isolated vertex as its own singleton
+    * component — the convenience that makes the documented edge-only caveat
+    * impossible to forget: callers pass the full node table and get one output
+    * row per node. `nodes` rows must be unique on `nodeCol` (doc ids). The
+    * singleton side is a left-anti join shipping node ids only. */
+  def connectedComponentsWithIsolated(
+      nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25, reliableCheckpoint: Boolean = false): DataFrame = {
+    val cc = connectedComponents(edges, srcCol, dstCol, maxRounds, reliableCheckpoint)
+    val isolated = nodes.select(col(nodeCol).as("id"))
+      .join(cc.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    cc.union(isolated)
+  }
+
   /** Duplicate clusters from a near-dup pair DataFrame (id_a, id_b, ...):
     * (id, component) where component = min doc id of the cluster. */
   def nearDupGroups(pairs: DataFrame): DataFrame =

@@ -4,12 +4,90 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** The codec seam for [[Multimodal]]: implementations supply the actual
+  * media decode/feature/resize logic; the operators own the Spark-side
+  * mechanics (schema, batching, partitioning) and take a codec as a
+  * parameter — swapping in a real decoder is dependency injection, not an
+  * operator edit. The default instance is [[FakeMediaCodec]] (this container
+  * ships no image/audio libraries).
+  *
+  * Column-level hooks return expressions (header parses compile to Catalyst
+  * trees); [[decodeOne]] is the row-level hook the batched `mapPartitions`
+  * stage calls — a real implementation amortizes native handles / model
+  * sessions across each batch.
+  */
+trait MediaCodec extends Serializable {
+  /** Meta struct (shape [[Multimodal.mediaMetaType]]) with decoded dimensions. */
+  def decodeImageMeta(media: Column, meta: Column): Column
+  /** Fixed-length feature vector (array<double>, values in [-1, 1]). */
+  def features(media: Column, dim: Int): Column
+  /** Meta struct after a bounded-box resize (byte_size bookkeeping exact). */
+  def resize(meta: Column, maxW: Int, maxH: Int): Column
+  /** Row-level decode for the batched stage. */
+  def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): Multimodal.DecodedMedia
+}
+
+/** DETERMINISTIC FAKE codec — a stand-in so the Spark-side plumbing is real
+  * and tested end-to-end without codec libraries: dimensions derive from the
+  * byte size, features from byte-window hashes. Every output is a pure
+  * function of the payload bytes, so tests and oracles reproduce it. */
+object FakeMediaCodec extends MediaCodec {
+
+  /** FAKE DECODE (stand-in for an image codec): derives plausible dimensions
+    * from the byte size. Real impl: decode header bytes. */
+  def decodeImageMeta(media: Column, meta: Column): Column = {
+    val size = meta.getField("byte_size")
+    struct(
+      meta.getField("media_type").as("media_type"),
+      size.as("byte_size"),
+      ((size * 37L) % 1920L + 16L).cast(IntegerType).as("width"),
+      ((size * 91L) % 1080L + 16L).cast(IntegerType).as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
+  /** FAKE FEATURE EXTRACT: deterministic byte-window hashes in [-1, 1].
+    * Real impl: a model forward pass via mapInArrow with batched tensors. */
+  def features(media: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(media, i), lit(2000001L)).cast(DoubleType) - 1000000.0) / 1000000.0)
+
+  /** Resize (FAKE): deterministic downsample marker — keeps byte_size
+    * bookkeeping exact so partition sizing logic is testable. */
+  def resize(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width"); val h = meta.getField("height")
+    val scaleNum = least(lit(maxW) * 1000 / greatest(w, lit(1)), lit(maxH) * 1000 / greatest(h, lit(1)), lit(1000))
+    // floor+cast back to LongType: Column `/` is DOUBLE division, and a double
+    // byte_size would break schema equality with mediaMetaType / ingest structs
+    struct(
+      meta.getField("media_type").as("media_type"),
+      floor(meta.getField("byte_size") * scaleNum * scaleNum / 1000000L).cast(LongType).as("byte_size"),
+      floor(w * scaleNum / 1000).cast(IntegerType).as("width"),
+      floor(h * scaleNum / 1000).cast(IntegerType).as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
+  /** FAKE single-record decode — deterministic function of the payload bytes. */
+  def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): Multimodal.DecodedMedia = {
+    val size = bytes.length.toLong
+    val features = Array.tabulate(featureDim) { i =>
+      // cheap deterministic byte-window hash in [-1, 1]
+      var h = 1125899906842597L + i
+      var j = i % math.max(bytes.length, 1)
+      val end = math.min(j + 16, bytes.length)
+      while (j < end) { h = 31 * h + bytes(j); j += 1 }
+      ((h % 2000001L).toDouble / 2000000.0)
+    }
+    Multimodal.DecodedMedia(id, size,
+      ((size * 37) % 1920 + 16).toInt, ((size * 91) % 1080 + 16).toInt, features)
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with a typed metadata struct. The Spark-side mechanics — schema,
   * binary slicing, per-partition batch shape, partitioning by media size —
-  * are real and tested; the codec step is a DETERMINISTIC FAKE (this container
-  * ships no image/audio libraries). Swap `fakeDecode*` for a real codec UDF /
-  * mapInArrow stage in production; every call site is marked.
+  * are real and tested; the decode itself comes from the injected
+  * [[MediaCodec]], defaulting to the DETERMINISTIC FAKE [[FakeMediaCodec]]
+  * (this container ships no image/audio libraries).
   */
 object Multimodal {
 
@@ -32,24 +110,25 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
-  /** FAKE DECODE (deterministic stand-in for an image codec): derives
-    * plausible dimensions from the byte size. Real impl: decode header bytes. */
-  def fakeDecodeImageMeta(media: Column, meta: Column): Column = {
-    val size = meta.getField("byte_size")
-    struct(
-      meta.getField("media_type").as("media_type"),
-      size.as("byte_size"),
-      ((size * 37L) % 1920L + 16L).cast(IntegerType).as("width"),
-      ((size * 91L) % 1080L + 16L).cast(IntegerType).as("height"),
-      meta.getField("duration_ms").as("duration_ms"))
-  }
+  /** Decoded meta struct via the codec's column-level header parse. */
+  def decodeImageMeta(media: Column, meta: Column, codec: MediaCodec = FakeMediaCodec): Column =
+    codec.decodeImageMeta(media, meta)
 
-  /** FAKE FEATURE EXTRACT: fixed-length feature vector from binary content —
-    * deterministic byte-window hashes in [-1, 1]. Real impl: a model forward
-    * pass via mapInArrow with batched tensors. */
-  def fakeFeatures(media: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(media, i), lit(2000001L)).cast(DoubleType) - 1000000.0) / 1000000.0)
+  /** Fixed-length feature vector via the codec. */
+  def features(media: Column, dim: Int, codec: MediaCodec = FakeMediaCodec): Column =
+    codec.features(media, dim)
+
+  /** Resized meta struct via the codec. */
+  def resize(meta: Column, maxW: Int, maxH: Int, codec: MediaCodec = FakeMediaCodec): Column =
+    codec.resize(meta, maxW, maxH)
+
+  /** Explicitly-named fake flavors (the historical entry points — every call
+    * site of these knows it is on the deterministic stand-in). */
+  def fakeDecodeImageMeta(media: Column, meta: Column): Column =
+    FakeMediaCodec.decodeImageMeta(media, meta)
+  def fakeFeatures(media: Column, dim: Int): Column = FakeMediaCodec.features(media, dim)
+  def fakeResize(meta: Column, maxW: Int, maxH: Int): Column =
+    FakeMediaCodec.resize(meta, maxW, maxH)
 
   /** Frame-sampling plumbing: n evenly spaced byte windows of `frameBytes`
     * bytes as array<struct<frame_idx,bytes>> — real byte-slicing on the binary
@@ -73,13 +152,14 @@ object Multimodal {
     * stage: one partition is processed as a stream of fixed-size BATCHES so a
     * real codec/model can amortize per-call setup (native handles, model
     * weights) across `batchSize` records, exactly like an Arrow batch. The
-    * decode itself is a DETERMINISTIC FAKE (no codec libs in this container) —
-    * swap `decodeOne`; the partitioning, batch shape, and Encoder plumbing are
-    * real and tested.
+    * decode is whatever the injected codec's [[MediaCodec.decodeOne]] does
+    * (default: the deterministic fake); the partitioning, batch shape, and
+    * Encoder plumbing are real and tested either way.
     */
   def decodeBatched(
       df: DataFrame, idCol: String, mediaCol: String, featureDim: Int,
-      batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedMedia] = {
+      batchSize: Int = 64,
+      codec: MediaCodec = FakeMediaCodec): org.apache.spark.sql.Dataset[DecodedMedia] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[DecodedMedia]
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
@@ -89,38 +169,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch setup would happen here (codec init / model session)
-          batch.map { case (id, bytes) => decodeOne(id, bytes, featureDim) }
+          batch.map { case (id, bytes) => codec.decodeOne(id, bytes, featureDim) }
         }
       }
-  }
-
-  /** FAKE single-record decode used by [[decodeBatched]] — deterministic
-    * function of the payload bytes. */
-  private def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): DecodedMedia = {
-    val size = bytes.length.toLong
-    val features = Array.tabulate(featureDim) { i =>
-      // cheap deterministic byte-window hash in [-1, 1]
-      var h = 1125899906842597L + i
-      var j = i % math.max(bytes.length, 1)
-      val end = math.min(j + 16, bytes.length)
-      while (j < end) { h = 31 * h + bytes(j); j += 1 }
-      ((h % 2000001L).toDouble / 2000000.0)
-    }
-    DecodedMedia(id, size, ((size * 37) % 1920 + 16).toInt, ((size * 91) % 1080 + 16).toInt, features)
-  }
-
-  /** Resize plumbing (FAKE): deterministic downsample marker — keeps byte_size
-    * bookkeeping exact so partition sizing logic is testable. */
-  def fakeResize(meta: Column, maxW: Int, maxH: Int): Column = {
-    val w = meta.getField("width"); val h = meta.getField("height")
-    val scaleNum = least(lit(maxW) * 1000 / greatest(w, lit(1)), lit(maxH) * 1000 / greatest(h, lit(1)), lit(1000))
-    // floor+cast back to LongType: Column `/` is DOUBLE division, and a double
-    // byte_size would break schema equality with mediaMetaType / ingest structs
-    struct(
-      meta.getField("media_type").as("media_type"),
-      floor(meta.getField("byte_size") * scaleNum * scaleNum / 1000000L).cast(LongType).as("byte_size"),
-      floor(w * scaleNum / 1000).cast(IntegerType).as("width"),
-      floor(h * scaleNum / 1000).cast(IntegerType).as("height"),
-      meta.getField("duration_ms").as("duration_ms"))
   }
 }

@@ -51,8 +51,19 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que"))
 
   /** Language-ID: argmax of stopword hits; ties and zero evidence -> "und".
-    * Deterministic tie-break: higher count wins, then earlier lang in `table`. */
-  def langId(text: Column, table: Seq[(String, Seq[String])] = stopwords): Column = {
+    * Deterministic tie-break: higher count wins, then earlier lang in `table`.
+    * A native codegen Expression (graft.functions.LangIdBest): the Column
+    * shape ([[langIdColumnTree]], kept for the equivalence spec) re-walked the
+    * token array once per language through interpreted HOF filters — the
+    * largest remaining interpreted-HOF battery line before this. Null text ->
+    * "und" (the Column version's when/otherwise falls through on null too). */
+  def langId(text: Column, table: Seq[(String, Seq[String])] = stopwords): Column =
+    coalesce(graft.functions.LangIdBest(text, table), lit("und"))
+
+  /** The original Column-tree language-ID — retained as the reference
+    * implementation the native expression is spec-checked against. */
+  private[graft] def langIdColumnTree(
+      text: Column, table: Seq[(String, Seq[String])] = stopwords): Column = {
     val ts = tokens(lower(text))
     // struct ordering compares fields left-to-right: (count, -position) argmax
     val scored = table.zipWithIndex.map { case ((lang, sw), i) =>

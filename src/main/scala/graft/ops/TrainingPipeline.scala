@@ -2,11 +2,14 @@ package graft.ops
 
 import graft.dsl.SchemaSpec
 import graft.run.Validator
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Per-stage row accounting for one [[TrainingPipeline.run]] (docs removed BY
-  * that stage; every stage sees the previous stage's survivors). */
+  * that stage; every stage sees the previous stage's survivors).
+  * `nearDupDroppedBuckets`/`nearDupDroppedIds` surface the MinHash LSH bucket
+  * cap's exclusions (the one recall cap in the pipeline) — the operators'
+  * no-silent-caps contract survives composition. */
 case class PipelineReport(
     input: Long,
     invalid: Long,
@@ -14,11 +17,21 @@ case class PipelineReport(
     nearDups: Long,
     contaminated: Long,
     lowQuality: Long,
-    output: Long) {
+    output: Long,
+    nearDupDroppedBuckets: Long = 0L,
+    nearDupDroppedIds: Long = 0L) {
   def removed: Long = invalid + exactDups + nearDups + contaminated + lowQuality
 }
 
-case class PipelineResult(corpus: DataFrame, report: PipelineReport)
+/** `corpus` reads from the one cached frame [[run]] created; call
+  * [[unpersist]] once the caller's action on `corpus` (write/collect) is done. */
+case class PipelineResult(corpus: DataFrame, report: PipelineReport,
+    private[ops] val cached: Seq[DataFrame] = Nil) {
+  /** Releases the pipeline's cached frames (the deduped corpus + the small
+    * flagged-id / probe-hash sets). After this, actions on `corpus` recompute
+    * the full lineage. */
+  def unpersist(): Unit = cached.foreach(_.unpersist())
+}
 
 /** End-to-end training-data preprocessing — a thin composition of the
   * library's operators in their canonical order; it adds NO logic of its own,
@@ -27,16 +40,22 @@ case class PipelineResult(corpus: DataFrame, report: PipelineReport)
   *   normalize (NFC) + PII scrub  -> one codegen'd projection
   *   validate                     -> compiled rule pipeline; invalid rows drop
   *   exact dedup                  -> digest hash-aggregate
-  *   near-dup dedup               -> MinHash LSH pairs -> connected
-  *                                   components -> keep cluster minimum
+  *   near-dup dedup               -> MinHash LSH pairs (AUDITED bucket cap)
+  *                                   -> connected components -> keep cluster
+  *                                   minimum
   *   decontaminate                -> n-gram hash join vs the benchmark probe
   *   quality filter               -> integer quality + repetition signals
-  *   split (+ optional packing)   -> md5 hash split; per-split cost-budget bins
+  *   split (+ optional packing)   -> md5 hash split; cost-budget bins packed
+  *                                   per (split, shard) — `packShards` md5
+  *                                   hash buckets, so no split funnels its
+  *                                   whole corpus through one window partition
   *
-  * Each stage's removals are counted (one count per stage on a persisted
-  * frame — this is a batch-pipeline facade, auditability over the last drop
-  * of throughput; callers chasing a single-action plan compose the operators
-  * directly). */
+  * Accounting rides the work instead of re-running it: ONE persist of the
+  * corpus (post-exact-dedup — the frame every later stage re-reads), intake
+  * counts as an `Observation` on that frame's materializing action, and every
+  * other stage counted from its SMALL side output (loser-id / flagged-id
+  * sets), never a second full-corpus pass. The only persisted non-corpus
+  * frames are those id sets and the probe hashes. */
 object TrainingPipeline {
 
   def run(
@@ -44,36 +63,67 @@ object TrainingPipeline {
       schema: Option[SchemaSpec] = None,
       probe: Option[(DataFrame, String, String)] = None,
       shingleN: Int = 3, minhashThreshold: Double = 0.9,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
       decontamN: Int = 13, decontamMinHits: Long = 1L,
       minQualityScore: Long = 0L, maxTopWordPct: Int = 100,
       splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
-      packBudget: Option[Long] = None): PipelineResult = {
+      packBudget: Option[Long] = None, packShards: Int = 64): PipelineResult = {
 
     val cleaned = docs.withColumn(textCol,
-      TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol)))).persist()
-    val nInput = cleaned.count()
+      TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol))))
 
-    val valid = schema match {
-      case Some(spec) => Validator.validate(spec, cleaned).validRows.persist()
-      case None       => cleaned
+    // validate; count input and survivors with ONE observation riding the
+    // cache-materializing count below (no separate full pass per count)
+    val intake = Observation(s"graft_pipeline_intake_${seq.incrementAndGet()}")
+    val annotated = schema match {
+      case Some(spec) => Validator.validate(spec, cleaned).annotated
+      case None       => cleaned.withColumn("valid", lit(true))
     }
-    val nValid = if (schema.isDefined) valid.count() else nInput
+    val observed = annotated
+      .observe(intake, count(lit(1)).as("n_input"),
+        coalesce(sum(when(col("valid"), 1L).otherwise(0L)), lit(0L)).as("n_valid"))
+      .filter(col("valid"))
+    val valid = (schema match {
+      case Some(_) => observed.drop("violations", "valid")
+      case None    => observed.drop("valid")
+    })
 
+    // exact dedup, fused into THE one persisted corpus frame: everything
+    // downstream (signature scan, Jaccard verify, decontamination join,
+    // quality filter, the caller's action) re-reads this cache instead of
+    // re-running scrub+validate+dedup per stage
     val exact = Dedup.exactDedup(valid, idCol, textCol).persist()
-    val nExact = exact.count()
+    val nExact = exact.count() // materializes the cache; fires `intake`
+    val (nInput, nValid) = intakeCounts(intake, annotated)
 
-    val pairs = Dedup.minhashNearDups(
-      exact, idCol, textCol, shingleN = shingleN, threshold = minhashThreshold)
-    val near = Components.dedupByPairs(exact, idCol, pairs).persist()
-    val nNear = near.count()
+    // near-dup: audited pairs (bucket-cap drops ride the same job), cluster
+    // via connected components (runs its own bounded actions), count the
+    // LOSER set — small by construction, checkpoint-backed via the CC fixpoint
+    val audited = Dedup.minhashNearDupsAudited(
+      exact, idCol, textCol, shingleN = shingleN, threshold = minhashThreshold,
+      maxBucket = maxBucket)
+    val nearLosers = Components.nearDupGroups(audited.pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    val nNearRemoved = nearLosers.count()
+    val near = exact.join(nearLosers, Seq(idCol), "left_anti")
+    // CC's checksum actions already ran on `pairs`, so the audit observation
+    // has fired; these resolve without a recompute pass
+    val (nDropBuckets, nDropIds) = (audited.droppedBuckets, audited.droppedIds)
 
-    val decon = probe match {
+    // decontamination: persist the SMALL flagged-id set (computing it costs a
+    // corpus n-gram scan — don't pay it twice: once for the count, once in
+    // the caller's action) and the probe hashes it joins against
+    val (decon, nContam, deconCached) = probe match {
       case Some((p, pid, ptext)) =>
-        Decontaminate.decontaminate(near, idCol, textCol, p, pid, ptext,
-          decontamN, decontamMinHits).persist()
-      case None => near
+        val probeHashed = Decontaminate.probeHashes(p, pid, ptext, decontamN).persist()
+        val flagged = Decontaminate
+          .ngramCollisionsAgainst(near, idCol, textCol, probeHashed, decontamN, decontamMinHits)
+          .select(col("id").as(idCol)).distinct().persist()
+        val n = flagged.count()
+        (near.join(flagged, Seq(idCol), "left_anti"), n, Seq(flagged, probeHashed))
+      case None => (near, 0L, Nil)
     }
-    val nDecon = if (probe.isDefined) decon.count() else nNear
 
     // integer-threshold quality gate: composite score floor + Gopher-style
     // top-word dominance cap (top_word_count * 100 <= pct * n_tokens)
@@ -82,15 +132,20 @@ object TrainingPipeline {
     val kept = decon.filter(
       q.getField("quality_score") >= minQualityScore &&
         r.getField("top_word_count") * 100 <= r.getField("n_tokens") * maxTopWordPct)
-      .persist()
-    val nKept = kept.count()
+    val nKept = kept.count() // one cached-corpus pass + the small anti-joins
 
     val split = Sharding.hashSplit(kept, idCol, splits, splitSalt)
     val corpus = packBudget match {
       case Some(b) =>
+        // fine-grained composite shard key: a bare `split` (1-3 values) would
+        // sort each split's ENTIRE corpus in one window partition; (split,
+        // md5-shard) keeps every partition 1/packShards of a split, and the
+        // pair is the packed output's natural write partitioning
         Sharding.packByCostBudget(
-          split.withColumn("__cost", TextOps.tokenCountBpeIsh(col(textCol)).cast("long")),
-          "split", idCol, "__cost", b).drop("__cost")
+          split
+            .withColumn("shard", Sharding.shardColumn(col(idCol), packShards, splitSalt))
+            .withColumn("__cost", TextOps.tokenCountBpeIsh(col(textCol)).cast("long")),
+          Seq("split", "shard"), idCol, "__cost", b).drop("__cost")
       case None => split
     }
 
@@ -98,9 +153,38 @@ object TrainingPipeline {
       input = nInput,
       invalid = nInput - nValid,
       exactDups = nValid - nExact,
-      nearDups = nExact - nNear,
-      contaminated = nNear - nDecon,
-      lowQuality = nDecon - nKept,
-      output = nKept))
+      nearDups = nNearRemoved,
+      contaminated = nContam,
+      lowQuality = nExact - nNearRemoved - nContam - nKept,
+      output = nKept,
+      nearDupDroppedBuckets = nDropBuckets,
+      nearDupDroppedIds = nDropIds),
+      cached = exact +: deconCached)
+  }
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Intake counts from the observation, with the repo's standard grace-wait +
+    * explicit-recompute fallback (AQE empty-relation pruning or a lagging
+    * listener bus — see Dedup.AuditedPairs). */
+  private def intakeCounts(obs: Observation, annotated: DataFrame): (Long, Long) = {
+    val waitSec = java.lang.Long.getLong("spark.graft.auditWaitSec", 2L)
+    val completed =
+      try {
+        scala.concurrent.Await.ready(obs.future,
+          scala.concurrent.duration.Duration(waitSec, "s")); true
+      } catch { case _: java.util.concurrent.TimeoutException => false }
+    val m = if (completed) obs.get else Map.empty[String, Any]
+    if (m.contains("n_input"))
+      (m("n_input").asInstanceOf[Long], m("n_valid").asInstanceOf[Long])
+    else {
+      System.err.println(
+        s"[graft] pipeline intake observation not delivered within ${waitSec}s — " +
+          "recomputing input/valid counts with an explicit aggregate pass")
+      val row = annotated.agg(count(lit(1)).as("n_input"),
+        coalesce(sum(when(col("valid"), 1L).otherwise(0L)), lit(0L)).as("n_valid"))
+        .collect().head
+      (row.getLong(0), row.getLong(1))
+    }
   }
 }

@@ -276,8 +276,12 @@ object Bench {
     //  - best-of-pairs: per interleaved cluster-pair i, minN_i/(4*min4N_i),
     //    take the best pair — robust when steal is correlated WITHIN a pair
     //    (both sides of one pair saw the same host weather).
-    // Headline = max of the two, capped at 1.0; all samples are reported so
-    // the estimate is auditable.
+    // Headline = max of the two, capped at 1.0. This is NOT an upward-noise
+    // pick: steal only ever inflates wall time, so BOTH estimators are biased
+    // DOWNWARD relative to the uncontended ratio and max reduces that bias —
+    // the same logic as min-of-reps for a single timing. Both components ship
+    // separately in the headline JSON (scaling_efficiency_min_sides /
+    // _best_pair) with every raw sample, so the fold is auditable.
     val tN = samplesN.map(_._1).min
     val t4N = samples4N.map(_._1).min
     def pairEff(i: Int)(metric: ((Double, Map[String, Double])) => Double): Double = {

@@ -1,7 +1,19 @@
 package graft
 
-import graft.ops.{Components, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Dedup, FakeMediaCodec, MediaCodec, Multimodal, Sharding, Similarity, TextOps, TrainingPipeline}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+
+/** Row-level codec stub for the injection test — top-level so the
+  * mapPartitions closure serializes it without an outer test-class ref. */
+object StubCodec extends MediaCodec {
+  def decodeImageMeta(media: Column, meta: Column): Column = meta
+  def features(media: Column, dim: Int): Column =
+    array((0 until dim).map(_ => lit(0.5)): _*)
+  def resize(meta: Column, maxW: Int, maxH: Int): Column = meta
+  def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): Multimodal.DecodedMedia =
+    Multimodal.DecodedMedia(id, bytes.length.toLong, 42, 24, Array.fill(featureDim)(0.25))
+}
 
 /** Training-data pipeline operators: dedup family, similarity search, text
   * analysis, multimodal plumbing — over the driver-provided documents and
@@ -563,5 +575,91 @@ class OpsSpec extends SparkSpec {
     // deterministic representative: the cluster minimum survives
     assert(deduped.join(groups.filter($"id" =!= $"component"),
       deduped("doc_id") === col("id"), "left_semi").count() === 0)
+  }
+
+  test("connected components with isolated vertices: edgeless nodes are singleton components") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Components.connectedComponentsWithIsolated(nodes, "id", edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L)))
+  }
+
+  test("pipeline: capped boilerplate bucket surfaces dropped counts in the report (no silent recall loss)") {
+    // 30 near-identical boilerplate docs (shared 60-token body, unique tail):
+    // most LSH band buckets hold all 30 => over maxBucket=10 => dropped from
+    // pair generation, and the drop must reach PipelineReport
+    val body = (1 to 60).map(i => s"w$i").mkString(" ")
+    val boiler = (0 until 30).map(i => (50000L + i, s"$body tail$i"))
+    val normal = docs.filter(!$"text".contains("dup"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val corpus = (normal ++ boiler).toDF("doc_id", "text")
+    val res = TrainingPipeline.run(corpus, "doc_id", "text", maxBucket = 10)
+    assert(res.report.nearDupDroppedBuckets > 0, res.report.toString)
+    assert(res.report.nearDupDroppedIds >= 30L, res.report.toString)
+    // the boilerplate docs SURVIVE (recall loss is audited, not silent)
+    assert(res.corpus.filter($"doc_id" >= 50000L).count() === 30L)
+    res.unpersist()
+  }
+
+  test("pipeline packing: composite (split, shard) key fans the window out; bins dense per pair") {
+    val res = TrainingPipeline.run(docs.select($"doc_id", $"text"), "doc_id", "text",
+      splits = Seq("train" -> 0.9, "val" -> 0.1), splitSalt = "pp",
+      packBudget = Some(300L), packShards = 8)
+    val out = res.corpus.select($"split", $"shard", $"doc_id", $"bin")
+      .as[(String, Long, Long, Long)].collect()
+    // >1 distinct shard per split: no split funnels through one window partition
+    val shardsPerSplit = out.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).distinct.size }
+    assert(shardsPerSplit.values.forall(_ > 1), shardsPerSplit.toString)
+    // bins dense from 0 within each (split, shard)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.head === 0L && bins === (bins.head to bins.last))
+    }
+    res.unpersist()
+  }
+
+  test("hash split: null key raises instead of silently landing in the last split") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val e = intercept[Exception] {
+      Sharding.hashSplit(df, "id", Seq("train" -> 0.8, "test" -> 0.2)).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("hashSplit: null key"), chain)
+  }
+
+  test("media codec injection: a custom codec drives the batched decode; default stays the fake") {
+    val media = Multimodal.ingest(docs.limit(20), "doc_id", $"text", "image/fake")
+    val decoded = Multimodal.decodeBatched(
+      media, "doc_id", "media", featureDim = 4, batchSize = 8, codec = StubCodec).collect()
+    assert(decoded.length === 20)
+    assert(decoded.forall(d => d.width === 42 && d.height === 24 && d.features.forall(_ === 0.25)))
+    val fake = Multimodal.decodeBatched(media, "doc_id", "media", 4).collect()
+    assert(fake.forall(d => d.width === ((d.byte_size * 37) % 1920 + 16).toInt))
+    // column-level hooks route through the injected codec too
+    val metas = media.select(Multimodal.decodeImageMeta($"media", $"meta", StubCodec).as("m"))
+      .select($"m.width").as[Option[Int]].collect()
+    assert(metas.forall(_.isEmpty)) // StubCodec.decodeImageMeta = identity (ingest widths are null)
+    // the fake* entry points and the FakeMediaCodec instance are the same path
+    val viaName = media.select(Multimodal.fakeDecodeImageMeta($"media", $"meta").as("m"))
+    val viaCodec = media.select(Multimodal.decodeImageMeta($"media", $"meta", FakeMediaCodec).as("m"))
+    assert(viaName.collect().toSeq === viaCodec.collect().toSeq)
+  }
+
+  test("native lang_id is bit-identical to the Column-tree version incl. null/empty/tie cases") {
+    val edge = Seq(
+      (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "   \t "),
+      (9004L, "xyz abc qqq"),                    // zero evidence
+      (9005L, "the el der le"),                  // 4-way tie -> earliest (en)
+      (9006L, "el la de y the a of and un es"),  // es beats en 6-4
+      (9007L, "THE The the"))                    // lowercasing applies
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionAll(edge)
+    val cmp = all.select($"doc_id",
+      TextOps.langId($"text").as("native"),
+      TextOps.langIdColumnTree($"text").as("tree"))
+      .filter(not($"native" <=> $"tree"))
+    assert(cmp.count() === 0, cmp.collect().mkString(","))
   }
 }

@@ -154,5 +154,26 @@ class PlanSpec extends SparkSpec {
       graft.functions.NgramHashes(col("text"), 3).as("g")))
     assert(pNg.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
       s"ngram_hashes projection not codegen'd:\n$pNg")
+    // native lang_id (the k-interpreted-HOF-filters shape it replaced would
+    // evict the projection from codegen)
+    val pLang = plan(d.select(col("doc_id"),
+      graft.ops.TextOps.langId(col("text")).as("lang")))
+    assert(pLang.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"lang_id projection not codegen'd:\n$pLang")
+  }
+
+  test("cost-budget packing windows partition by the full composite shard key") {
+    import graft.ops.Sharding
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sharded = Sharding.hashSplit(d, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .withColumn("shard", Sharding.shardColumn(col("doc_id"), 8))
+    val packed = Sharding.packByCostBudget(sharded, Seq("split", "shard"), "doc_id", "n_chars", 1000L)
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // both composite key columns reach the window's partition spec — a
+    // single-column spec here is the one-task-per-split scale failure
+    assert(windows.nonEmpty && windows.head.partitionSpec.size === 2,
+      windows.map(_.partitionSpec).mkString(";"))
   }
 }

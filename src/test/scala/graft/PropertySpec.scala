@@ -224,4 +224,80 @@ class PropertySpec extends SparkSpec {
     assert(r.coerced.columns.toSeq === Seq("id", "x", "audit_tag"))
     assert(r.coerced.select("audit_tag").as[String].collect().head === "none")
   }
+
+  test("M3 pack-declared field options: eager default/required/validator; values route to the pack") {
+    // the extension option DSL seam (reference lib/flint/extension/dsl.ex:1-57
+    // declaration, lib/schema.ex:85-128 field-declaration-time enforcement)
+    object DivPack extends RulePack {
+      val name = "div"
+      override val options = Seq(
+        OptionSpec("divisible_by", validator = Some { case n: Int => n > 0; case _ => false }),
+        OptionSpec("strictness", default = Some("warn"), required = true,
+          validator = Some { case s: String => s == "warn" || s == "fail"; case _ => false }))
+      def apply(spec: SchemaSpec, f: FieldSpec, st: RulePack.FieldState,
+          ctx: Ctx, prefix: Column): RulePack.Result =
+        spec.fieldOption(f, "divisible_by") match {
+          case Some(n: Int) => RulePack.Result(triggers = Seq(Trigger(
+            st.inChanges && st.value.isNotNull && pmod(st.value, lit(n)) =!= 0,
+            concat(prefix, lit(s"${f.name}.divisible_by")), lit(s"must be divisible by $n"))))
+          case _ => RulePack.Result.empty
+        }
+    }
+    val packs = RulePack.defaults :+ DivPack
+    val spec = SchemaSpec("p", Seq(Field.integer("n").opt("divisible_by", 3)),
+      keyColumns = Seq("id"), packs = packs)
+    // resolution: given value, and the required option filled from its default
+    assert(spec.fieldOption(spec.field("n"), "divisible_by") === Some(3))
+    assert(spec.fieldOption(spec.field("n"), "strictness") === Some("warn"))
+    assert(spec.fieldOptions(spec.field("n")) ===
+      Map("divisible_by" -> 3, "strictness" -> "warn"))
+    val df = Seq((1, 9), (2, 10)).toDF("id", "n")
+    val viols = Validator.validate(spec, df).violations
+      .as[(Int, String, String)].collect().toSet
+    assert(viols === Set((2, "n.divisible_by", "must be divisible by 3")))
+    // a field WITHOUT the option: the pack contributes nothing
+    val spec2 = SchemaSpec("p", Seq(Field.integer("n")), keyColumns = Seq("id"), packs = packs)
+    assert(spec2.fieldOption(spec2.field("n"), "divisible_by") === None)
+    assert(Validator.validate(spec2, df).violations.count() === 0)
+    // unknown option name => schema-build error listing the declared ones
+    val eUnknown = intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n").opt("divisibleby", 3)),
+        keyColumns = Seq("id"), packs = packs)
+    }
+    assert(eUnknown.getMessage.contains("divisibleby") &&
+      eUnknown.getMessage.contains("divisible_by"))
+    // failing validator => build error with the reference's raise text
+    val eBad = intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n").opt("divisible_by", 0)),
+        keyColumns = Seq("id"), packs = packs)
+    }
+    assert(eBad.getMessage.contains("Value 0 for option divisible_by on field n failed validation"))
+    // wrong TYPE fails the validator too (type adherence by convention)
+    intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n").opt("divisible_by", "three")),
+        keyColumns = Seq("id"), packs = packs)
+    }
+    // bad DEFAULTED value: giving an invalid override of the defaulted option
+    intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n").opt("strictness", "explode")),
+        keyColumns = Seq("id"), packs = packs)
+    }
+    // required option with NO default => missing is a build-time error
+    object ReqPack extends RulePack {
+      val name = "reqp"
+      override val options = Seq(OptionSpec("unit", required = true))
+      def apply(spec: SchemaSpec, f: FieldSpec, st: RulePack.FieldState,
+          ctx: Ctx, prefix: Column): RulePack.Result = RulePack.Result.empty
+    }
+    val eReq = intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n")), keyColumns = Seq("id"),
+        packs = RulePack.defaults :+ ReqPack)
+    }
+    assert(eReq.getMessage.contains("Required option unit on field n not found"))
+    // filtering the pack out via except makes its options unknown again
+    intercept[IllegalArgumentException] {
+      SchemaSpec("p", Seq(Field.integer("n").opt("divisible_by", 3)),
+        keyColumns = Seq("id"), packs = packs, except = Some(Seq("div")))
+    }
+  }
 }

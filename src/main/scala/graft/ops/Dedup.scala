@@ -325,4 +325,51 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     simhashNearDupsAudited(df, idCol, textCol, maxHamming, maxBucket).pairs
+
+  // --------------------------------------------------------------------------
+  // Corpus-level exact LINE dedup (boilerplate-line removal)
+  // --------------------------------------------------------------------------
+
+  /** Hashes of lines occurring more than `maxFreq` times across the corpus:
+    * (line_hash, freq). Scale model: the count is a partial+final hash
+    * aggregate whose map side collapses each partition's repeats, so the
+    * shuffle carries (8-byte hash, count) per DISTINCT line per partition —
+    * and boilerplate lines are by definition the best-compressing keys. The
+    * output is tiny (only above-threshold lines) and broadcastable into
+    * [[scrubCommonLines]]'s anti-join. */
+  def commonLineHashes(
+      df: DataFrame, textCol: String, maxFreq: Long,
+      sep: String = "\n"): DataFrame =
+    df.select(explode(split(col(textCol), sep)).as("line"))
+      .groupBy(xxhash64(col("line")).as("line_hash"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+
+  /** Removes every line occurring more than `maxFreq` times corpus-wide from
+    * every document (the RefinedWeb/CCNet boilerplate-line pass: headers,
+    * nav bars, cookie banners repeat verbatim across pages; documents
+    * themselves are kept). Line order within a document is preserved; a
+    * document whose every line was boilerplate keeps an empty `textCol`.
+    *
+    * Plan: explode lines with positions -> left-anti join on the (broadcast-
+    * sized) banned hash set -> one groupBy(id) reassembly carrying the corpus
+    * once (field extraction over the sorted struct array is codegen'd — no
+    * lambda). Grouping by xxhash64, not the line text: the aggregation and
+    * join shuffles carry 8 bytes per distinct line; a 64-bit collision
+    * (~2^-64 per pair) could at worst scrub one innocent line. */
+  def scrubCommonLines(
+      df: DataFrame, idCol: String, textCol: String, maxFreq: Long,
+      sep: String = "\n"): DataFrame = {
+    val banned = commonLineHashes(df, textCol, maxFreq, sep)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+    val kept = lines.join(banned,
+      xxhash64(col("__line")) === banned("line_hash"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws(sep,
+        sort_array(collect_list(struct(col("__pos"), col("__line"))))
+          .getField("__line")).as(textCol))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
 }

@@ -38,6 +38,7 @@ case class PipelineResult(corpus: DataFrame, report: PipelineReport,
   * so each stage keeps its documented scale contract:
   *
   *   normalize (NFC) + PII scrub  -> one codegen'd projection
+  *   (optional) line scrub        -> corpus-frequency boilerplate-line removal
   *   validate                     -> compiled rule pipeline; invalid rows drop
   *   exact dedup                  -> digest hash-aggregate
   *   near-dup dedup               -> MinHash LSH pairs (AUDITED bucket cap)
@@ -62,6 +63,7 @@ object TrainingPipeline {
       docs: DataFrame, idCol: String, textCol: String,
       schema: Option[SchemaSpec] = None,
       probe: Option[(DataFrame, String, String)] = None,
+      maxLineFreq: Option[Long] = None,
       shingleN: Int = 3, minhashThreshold: Double = 0.9,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       decontamN: Int = 13, decontamMinHits: Long = 1L,
@@ -69,8 +71,16 @@ object TrainingPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
       packBudget: Option[Long] = None, packShards: Int = 64): PipelineResult = {
 
-    val cleaned = docs.withColumn(textCol,
+    val cleaned0 = docs.withColumn(textCol,
       TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol))))
+    // optional boilerplate-LINE pass (RefinedWeb-style): scrubs lines occurring
+    // > maxLineFreq corpus-wide; edits text in place (no doc removed), so it
+    // carries no PipelineReport row — downstream digests/signatures see the
+    // scrubbed text
+    val cleaned = maxLineFreq match {
+      case Some(f) => Dedup.scrubCommonLines(cleaned0, idCol, textCol, f)
+      case None    => cleaned0
+    }
 
     // validate; count input and survivors with ONE observation riding the
     // cache-materializing count below (no separate full pass per count)

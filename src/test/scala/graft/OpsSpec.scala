@@ -577,6 +577,31 @@ class OpsSpec extends SparkSpec {
       deduped("doc_id") === col("id"), "left_semi").count() === 0)
   }
 
+  test("corpus line dedup: boilerplate lines scrubbed everywhere, unique lines and order preserved") {
+    val banner = "accept all cookies to continue"
+    val nav = "home | products | about"
+    val bodies = (0 until 40).map(i => s"unique body line $i")
+    // 40 docs: banner + unique + nav; plus one doc that is ALL boilerplate and
+    // one boilerplate-free doc
+    val docsL = bodies.zipWithIndex.map { case (b, i) => (i.toLong, s"$banner\n$b\n$nav") } ++
+      Seq((100L, s"$banner\n$nav"), (101L, "entirely original\ntwo lines"))
+    val df = docsL.toDF("doc_id", "text")
+    val banned = Dedup.commonLineHashes(df, "text", maxFreq = 10L)
+    assert(banned.count() === 2) // banner + nav; body lines are unique
+    val out = Dedup.scrubCommonLines(df, "doc_id", "text", maxFreq = 10L)
+      .as[(Long, String)].collect().toMap
+    (0 until 40).foreach(i => assert(out(i.toLong) === s"unique body line $i"))
+    assert(out(100L) === "")                              // all-boilerplate doc survives, empty
+    assert(out(101L) === "entirely original\ntwo lines")  // untouched, order kept
+    assert(out.size === docsL.size)                       // no document dropped
+    // multi-line order preserved when several unique lines remain
+    val df2 = Seq((1L, s"first\n$banner\nsecond\nthird"), (2L, banner), (3L, banner),
+      (4L, banner), (5L, banner)).toDF("doc_id", "text")
+    val out2 = Dedup.scrubCommonLines(df2, "doc_id", "text", maxFreq = 3L)
+      .as[(Long, String)].collect().toMap
+    assert(out2(1L) === "first\nsecond\nthird")
+  }
+
   test("connected components with isolated vertices: edgeless nodes are singleton components") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

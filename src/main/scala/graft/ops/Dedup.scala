@@ -336,11 +336,14 @@ object Dedup {
     * shuffle carries (8-byte hash, count) per DISTINCT line per partition —
     * and boilerplate lines are by definition the best-compressing keys. The
     * output is tiny (only above-threshold lines) and broadcastable into
-    * [[scrubCommonLines]]'s anti-join. */
+    * [[scrubCommonLines]]'s anti-join. `sep` is a LITERAL separator (it is
+    * regex-quoted before the split so it agrees with the literal rejoin in
+    * [[scrubCommonLines]] — "." or "|" split where the text actually has
+    * them, not everywhere). */
   def commonLineHashes(
       df: DataFrame, textCol: String, maxFreq: Long,
       sep: String = "\n"): DataFrame =
-    df.select(explode(split(col(textCol), sep)).as("line"))
+    df.select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
       .groupBy(xxhash64(col("line")).as("line_hash"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxFreq)
@@ -356,13 +359,23 @@ object Dedup {
     * once (field extraction over the sorted struct array is codegen'd — no
     * lambda). Grouping by xxhash64, not the line text: the aggregation and
     * join shuffles carry 8 bytes per distinct line; a 64-bit collision
-    * (~2^-64 per pair) could at worst scrub one innocent line. */
+    * (~2^-64 per pair) could at worst scrub one innocent line.
+    *
+    * Preconditions/behavior (same convention as
+    * [[graft.ops.Components.connectedComponentsWithIsolated]]): `idCol` MUST
+    * be unique — the reassembly groups by it, so two documents sharing an id
+    * would have their lines merged and the merged text fanned back to both.
+    * `sep` is a LITERAL separator (regex-quoted on the split side so split
+    * and `concat_ws` rejoin agree). A null `textCol` comes back as `""` (it
+    * produces no line rows, so the left join misses and the coalesce fills
+    * the empty string — same result as an all-boilerplate document). */
   def scrubCommonLines(
       df: DataFrame, idCol: String, textCol: String, maxFreq: Long,
       sep: String = "\n"): DataFrame = {
     val banned = commonLineHashes(df, textCol, maxFreq, sep)
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
     val kept = lines.join(banned,
       xxhash64(col("__line")) === banned("line_hash"), "left_anti")
     val rebuilt = kept.groupBy(idCol).agg(

@@ -56,7 +56,9 @@ case class PipelineResult(corpus: DataFrame, report: PipelineReport,
   * counts as an `Observation` on that frame's materializing action, and every
   * other stage counted from its SMALL side output (loser-id / flagged-id
   * sets), never a second full-corpus pass. The only persisted non-corpus
-  * frames are those id sets and the probe hashes. */
+  * frames are those id sets, the probe hashes, and — when the line scrub is
+  * on — the pre-scrub projection, held only until the corpus cache
+  * materializes (the scrub reads its input three times). */
 object TrainingPipeline {
 
   def run(
@@ -76,9 +78,12 @@ object TrainingPipeline {
     // optional boilerplate-LINE pass (RefinedWeb-style): scrubs lines occurring
     // > maxLineFreq corpus-wide; edits text in place (no doc removed), so it
     // carries no PipelineReport row — downstream digests/signatures see the
-    // scrubbed text
+    // scrubbed text. scrubCommonLines reads its input THREE times (line-freq
+    // aggregate, posexplode side, final doc join), so the normalize+PII
+    // projection is persisted for the duration of the cache-materializing
+    // action below instead of being recomputed per pass.
     val cleaned = maxLineFreq match {
-      case Some(f) => Dedup.scrubCommonLines(cleaned0, idCol, textCol, f)
+      case Some(f) => Dedup.scrubCommonLines(cleaned0.persist(), idCol, textCol, f)
       case None    => cleaned0
     }
 
@@ -105,6 +110,10 @@ object TrainingPipeline {
     val exact = Dedup.exactDedup(valid, idCol, textCol).persist()
     val nExact = exact.count() // materializes the cache; fires `intake`
     val (nInput, nValid) = intakeCounts(intake, annotated)
+    // everything downstream reads the `exact` cache; the pre-scrub projection
+    // (persisted only for the line-scrub's multi-pass window) can go now —
+    // intakeCounts' recompute fallback has already run if it was going to
+    if (maxLineFreq.isDefined) cleaned0.unpersist()
 
     // near-dup: audited pairs (bucket-cap drops ride the same job), cluster
     // via connected components (runs its own bounded actions), count the

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True when no Dataset.persist cache entries remain (CacheManager state;
+    * unlike `sc.getPersistentRDDs` it ignores localCheckpoint blocks).
+    * Test-support seam for cache-hygiene assertions. */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

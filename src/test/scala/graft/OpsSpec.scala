@@ -600,6 +600,20 @@ class OpsSpec extends SparkSpec {
     val out2 = Dedup.scrubCommonLines(df2, "doc_id", "text", maxFreq = 3L)
       .as[(Long, String)].collect().toMap
     assert(out2(1L) === "first\nsecond\nthird")
+    // regex-meta separator is treated as a LITERAL: "|" must split only at
+    // actual pipes (a regex "|" splits between every character) and the
+    // rejoin must reuse the same literal, round-tripping untouched docs
+    val df3 = (Seq((1L, "keep me|SPAM|also keep"), (2L, "a.b|c")) ++
+      (3L to 7L).map(i => (i, "SPAM"))).toDF("doc_id", "text")
+    val out3 = Dedup.scrubCommonLines(df3, "doc_id", "text", maxFreq = 4L, sep = "|")
+      .as[(Long, String)].collect().toMap
+    assert(out3(1L) === "keep me|also keep")
+    assert(out3(2L) === "a.b|c") // untouched; dot stays, pipe rejoined literally
+    // null text comes back as "" (documented behavior)
+    val df4 = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+    val out4 = Dedup.scrubCommonLines(df4, "doc_id", "text", maxFreq = 10L)
+      .as[(Long, String)].collect().toMap
+    assert(out4(1L) === "" && out4(2L) === "x")
   }
 
   test("connected components with isolated vertices: edgeless nodes are singleton components") {
@@ -625,6 +639,26 @@ class OpsSpec extends SparkSpec {
     // the boilerplate docs SURVIVE (recall loss is audited, not silent)
     assert(res.corpus.filter($"doc_id" >= 50000L).count() === 30L)
     res.unpersist()
+  }
+
+  test("pipeline line scrub: downstream stages see scrubbed text; pre-scrub cache released") {
+    // banner appears in >10 docs => scrubbed; docs 1 and 2 then become exact
+    // dups ("alpha beta") — proving the exact-dedup digest reads the SCRUBBED
+    // text, not the raw input
+    val banner = "accept cookies to continue"
+    val filler = (0 until 12).map(i => (100L + i, s"$banner\nfiller body $i"))
+    val corpus = (Seq((1L, s"alpha beta\n$banner"), (2L, "alpha beta")) ++ filler)
+      .toDF("doc_id", "text")
+    val res = TrainingPipeline.run(corpus, "doc_id", "text", maxLineFreq = Some(10L))
+    assert(res.report.input === 14L)
+    assert(res.report.exactDups === 1L, res.report.toString) // 1 vs 2 collapse post-scrub
+    val out = res.corpus.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(out.keySet.min.min(2L)) === "alpha beta") // survivor carries scrubbed text
+    assert((100L until 112L).forall(i => out.get(i).forall(!_.contains(banner))))
+    res.unpersist()
+    // the pre-scrub projection's cache was released inside run(), and
+    // unpersist() dropped the rest: no Dataset cache entries remain
+    assert(org.apache.spark.sql.graftbridge.noCachedPlans(spark))
   }
 
   test("pipeline packing: composite (split, shard) key fans the window out; bins dense per pair") {

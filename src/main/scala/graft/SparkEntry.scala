@@ -431,6 +431,25 @@ object SparkEntry {
       docs.join(manifest, Seq("bucket"), "left_anti").select("doc_id", "bucket")
     }),
 
+    // ---- N11 incremental: snapshot diff — changed/added/removed buckets between two snapshots -------------------
+    // Engine-portable md5-derived bucket + row hash so the oracle reproduces
+    // the fingerprints bit-for-bit; the library default is xxhash64.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val prev = t(s, dir, "documents").select("doc_id", "text")
+      val cur = prev.filter(col("doc_id") % 101 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionAll(prev.filter(col("doc_id") % 103 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), lit("brand new document").as("text")))
+      val bucketOf = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(4096))
+      val rowHash = conv(substring(
+        md5(concat_ws("|", col("doc_id").cast("string"), col("text"))), 1, 15), 16, 10).cast("long")
+      graft.checkpoint.CheckpointedRunner.snapshotDiff(cur, prev, bucketOf, rowHash)
+        .select(col("bucket"), col("status"))
+    }),
+
     // ---- dedup: exact -------------------------------------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -855,6 +874,33 @@ object SparkEntry {
     "q_checkpoint_pending" ->
       """SELECT doc_id, doc_id % 16 AS bucket FROM documents
          WHERE (doc_id % 16) % 4 <> 0""",
+
+    "q_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+         cur AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 97 = 0 THEN text || ' edited' ELSE text END AS text
+           FROM documents WHERE doc_id % 101 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, 'brand new document' AS text
+           FROM documents WHERE doc_id % 103 = 0),
+         fc AS (
+           SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket,
+                  COUNT(*) AS n,
+                  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT) AS fp
+           FROM cur GROUP BY 1),
+         fp AS (
+           SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket,
+                  COUNT(*) AS n,
+                  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT) AS fp
+           FROM prev GROUP BY 1)
+         SELECT bucket, status FROM (
+           SELECT COALESCE(c.bucket, p.bucket) AS bucket,
+                  CASE WHEN p.bucket IS NULL THEN 'added'
+                       WHEN c.bucket IS NULL THEN 'removed'
+                       WHEN c.n <> p.n OR c.fp <> p.fp THEN 'changed' END AS status
+           FROM fc c FULL OUTER JOIN fp p ON c.bucket = p.bucket)
+         WHERE status IS NOT NULL""",
 
     "q_dedup_exact" ->
       """WITH corpus AS (

@@ -1,6 +1,6 @@
 package graft.checkpoint
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,10 @@ object CheckpointedRunner {
   /** Manifest row per completed bucket. `wall_ms` is the wall time of the
     * (multi-bucket) JOB that completed the bucket — shared by every row of one
     * run invocation, NOT per-bucket work (buckets complete together in one
-    * write job; summing wall_ms across rows double-counts). */
+    * write job; summing wall_ms across rows double-counts). `fingerprint` is
+    * the order-independent content fingerprint of the bucket's INPUT at the
+    * time it was validated (null for runs launched without one) — the
+    * content-addressed completion key [[incrementalRun]] matches against. */
   val manifestSchema: StructType = StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
     StructField("run_id", StringType),
@@ -29,14 +32,21 @@ object CheckpointedRunner {
     StructField("rows", LongType),
     StructField("violations", LongType),
     StructField("wall_ms", LongType),
-    StructField("status", StringType)))
+    StructField("status", StringType),
+    StructField("fingerprint", LongType)))
 
   /** One-time layout pass: bucket the input by key hash and write it
     * partitioned by bucket (lineage root for all later runs). */
   def stage(df: DataFrame, keyCols: Seq[String], numBuckets: Int, stagingDir: String): Unit = {
     df.withColumn("bucket",
         pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast(IntegerType))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stagingDir)
+      .write.mode(SaveMode.Overwrite)
+      // STATIC overwrite per-write: a full snapshot replaces the whole staged
+      // layout, including buckets that have no rows in the new snapshot
+      // (run() sets the session to dynamic mode, which would otherwise leave
+      // disappeared buckets' old partitions in place on re-stage)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(stagingDir)
   }
 
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
@@ -80,9 +90,25 @@ object CheckpointedRunner {
       runId: String,
       keyCols: Seq[String],
       maxBuckets: Int = Int.MaxValue): Seq[Int] = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(spark, manifestDir)
     val pending = (0 until numBuckets).filterNot(done).take(maxBuckets)
+    runCore(spark, stagingDir, manifestDir, outDir, numBuckets, process,
+      sortCols, runId, keyCols, pending, statsByBucket = None)
+  }
+
+  private def runCore(
+      spark: SparkSession,
+      stagingDir: String,
+      manifestDir: String,
+      outDir: String,
+      numBuckets: Int,
+      process: DataFrame => DataFrame,
+      sortCols: Seq[String],
+      runId: String,
+      keyCols: Seq[String],
+      pending: Seq[Int],
+      statsByBucket: Option[Map[Int, (Long, Long)]]): Seq[Int] = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (pending.isEmpty) return Seq.empty
     val t0 = System.nanoTime()
     val staged = spark.read.parquet(stagingDir)
@@ -106,22 +132,165 @@ object CheckpointedRunner {
       .repartition(math.max(pending.size, 1), col("bucket"))
       .sortWithinPartitions((col("bucket") +: sortCols.map(col)): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
-    // manifest metrics from two column-pruned aggregates over the SAME data
-    // the job touched (input buckets + the small sink), not per-bucket rescans
-    val rowsByBucket = in.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // manifest metrics from column-pruned aggregates over the SAME data the
+    // job touched (input buckets + the small sink), not per-bucket rescans;
+    // incremental callers already hold per-bucket (rows, fingerprint) from
+    // their pending-selection scan, so the input aggregate is skipped there
+    val rowsByBucket = statsByBucket match {
+      case Some(stats) => stats.view.mapValues(_._1).toMap
+      case None => in.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val fpByBucket: Map[Int, java.lang.Long] =
+      statsByBucket.fold(Map.empty[Int, java.lang.Long])(
+        _.view.mapValues(v => java.lang.Long.valueOf(v._2)).toMap)
     val violsByBucket = spark.read.parquet(outDir)
       .filter(col("bucket").isin(pending: _*))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val wallMs = (System.nanoTime() - t0) / 1000000
-    import scala.jdk.CollectionConverters._
-    val manifestRows = pending.map { b =>
+    appendManifest(spark, manifestDir, pending.map { b =>
       org.apache.spark.sql.Row(b, runId, stagingDir,
-        rowsByBucket.getOrElse(b, 0L), violsByBucket.getOrElse(b, 0L), wallMs, "done")
-    }
-    spark.createDataFrame(manifestRows.asJava, manifestSchema)
-      .write.mode(SaveMode.Append).parquet(manifestDir)
+        rowsByBucket.getOrElse(b, 0L), violsByBucket.getOrElse(b, 0L), wallMs,
+        "done", fpByBucket.getOrElse(b, null))
+    })
     pending
+  }
+
+  private def appendManifest(
+      spark: SparkSession, manifestDir: String,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, manifestSchema)
+      .write.mode(SaveMode.Append).parquet(manifestDir)
+  }
+
+  // --------------------------------------------------------------------------
+  // Incremental (snapshot-diff) revalidation
+  // --------------------------------------------------------------------------
+
+  /** The bucket id of a row, exactly as [[stage]] assigns it. */
+  def bucketExpr(keyCols: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast(IntegerType)
+
+  /** Default 64-bit row hash for content fingerprints: xxhash64 over every
+    * non-bucket column, in sorted-name order (schema column order must not
+    * change the fingerprint). */
+  def defaultRowHash(df: DataFrame): Column =
+    xxhash64(df.columns.sorted.filterNot(_ == "bucket").map(col): _*)
+
+  /** Per-bucket content fingerprint: (bucket, n_rows, fingerprint) with
+    * fingerprint = bit_xor of `rowHash` — order-independent, because
+    * validation semantics don't depend on row order within a bucket, and an
+    * order-sensitive digest would flag every compaction/rewrite as a change.
+    * bit_xor alone cancels PAIRS of identical rows, so the row count always
+    * rides next to it; fooling the pair requires a 64-bit hash collision.
+    * One column-pruned aggregate scan (only the hashed columns are read);
+    * a catalog that maintains per-partition content digests in metadata
+    * (Iceberg) can supply this frame without any scan — this is the seam. */
+  def bucketFingerprints(staged: DataFrame, rowHash: Column): DataFrame =
+    staged.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(rowHash).as("fingerprint"))
+
+  /** Changed-bucket report between two snapshots of the same logical table:
+    * one row per bucket whose content differs — `status` is 'added' (bucket
+    * has rows only now), 'removed' (only before), or 'changed'. Unchanged
+    * buckets produce no row, so at 10^12 files the output is proportional to
+    * the CHANGE, not the table. `bucketOf`/`rowHash` default to the staged
+    * layout's xxhash64 forms; pass engine-portable hashes (md5-derived) when
+    * another system must reproduce the report bit-for-bit. */
+  def snapshotDiff(
+      cur: DataFrame, prev: DataFrame, bucketOf: Column, rowHash: Column): DataFrame = {
+    def fp(df: DataFrame) = bucketFingerprints(df.withColumn("bucket", bucketOf), rowHash)
+    val c = fp(cur).withColumnsRenamed(Map("n_rows" -> "n_cur", "fingerprint" -> "fp_cur"))
+    val p = fp(prev).withColumnsRenamed(Map("n_rows" -> "n_prev", "fingerprint" -> "fp_prev"))
+    c.join(p, Seq("bucket"), "full_outer")
+      .withColumn("status",
+        when(col("n_prev").isNull, lit("added"))
+          .when(col("n_cur").isNull, lit("removed"))
+          .when(col("n_cur") =!= col("n_prev") || col("fp_cur") =!= col("fp_prev"),
+            lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("bucket"), col("status"))
+  }
+
+  /** [[snapshotDiff]] with the staged layout's own bucket/row hashes. */
+  def snapshotDiff(
+      cur: DataFrame, prev: DataFrame, keyCols: Seq[String], numBuckets: Int): DataFrame =
+    snapshotDiff(cur, prev, bucketExpr(keyCols, numBuckets), defaultRowHash(cur))
+
+  /** Latest committed (rows, fingerprint) per done bucket. A bucket may have
+    * several done rows (one per snapshot that revalidated it); completion is
+    * content-addressed, so ANY done row matching the current content counts —
+    * no row ordering or manifest mutation needed. */
+  private def doneFingerprints(
+      spark: SparkSession, manifestDir: String): Set[(Int, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.schema(manifestSchema).parquet(manifestDir)
+      .filter(col("status") === "done" && col("fingerprint").isNotNull)
+      .select("bucket", "rows", "fingerprint").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** Incremental, content-addressed [[run]]: validate ONLY buckets whose
+    * current staged content has no committed manifest row with a matching
+    * (rows, fingerprint). Re-staging a new table snapshot therefore
+    * revalidates exactly the changed buckets — unchanged buckets' outputs are
+    * untouched on disk (byte-identical), removed buckets' outputs are deleted
+    * and committed as empty, and nothing is ever re-validated twice for the
+    * same content. Completion never requires mutating old manifest rows
+    * (append-only, like an Iceberg snapshot log).
+    *
+    * Cost model: one column-pruned fingerprint scan of the staged table
+    * (only `rowHash`'s columns are read) + the validation job over changed
+    * buckets only. The per-bucket (rows, fingerprint) from the selection scan
+    * is reused for the manifest — no second input aggregate.
+    *
+    * @param rowHash 64-bit row hash for fingerprints; defaults to xxhash64
+    *                over all staged columns in sorted-name order */
+  def incrementalRun(
+      spark: SparkSession,
+      stagingDir: String,
+      manifestDir: String,
+      outDir: String,
+      numBuckets: Int,
+      process: DataFrame => DataFrame,
+      sortCols: Seq[String],
+      runId: String,
+      keyCols: Seq[String],
+      rowHash: Option[Column] = None,
+      maxBuckets: Int = Int.MaxValue): Seq[Int] = {
+    val staged = spark.read.parquet(stagingDir)
+    val current = bucketFingerprints(staged, rowHash.getOrElse(defaultRowHash(staged)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val done = doneFingerprints(spark, manifestDir)
+    val doneBuckets = done.map(_._1)
+    // removed: bucket has an output partition on disk but no staged rows now —
+    // delete the stale partition and commit the bucket as empty. Keyed off ONE
+    // listing of the output dir (not manifest history), so it is idempotent
+    // across remove/re-add/remove cycles.
+    val outRoot = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written: Set[Int] =
+      if (!fs.exists(outRoot)) Set.empty
+      else fs.listStatus(outRoot).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt).toSet
+    val removed = written.filterNot(current.contains).toSeq.sorted
+    if (removed.nonEmpty) {
+      removed.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(outRoot, s"bucket=$b"), true)
+      }
+      appendManifest(spark, manifestDir, removed.map { b =>
+        org.apache.spark.sql.Row(b, runId, stagingDir, 0L, 0L, 0L, "done",
+          java.lang.Long.valueOf(0L))
+      })
+    }
+    val pending = (0 until numBuckets).filter(b =>
+      current.get(b).exists { case (n, fp) => !done.contains((b, n, fp)) })
+      .take(maxBuckets)
+    runCore(spark, stagingDir, manifestDir, outDir, numBuckets, process,
+      sortCols, runId, keyCols, pending, statsByBucket = Some(current))
   }
 }

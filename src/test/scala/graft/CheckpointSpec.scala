@@ -110,6 +110,80 @@ class CheckpointSpec extends SparkSpec {
     assert(CheckpointedRunner.completedBuckets(spark, m) === Set(0, 1, 2))
   }
 
+  test("incremental revalidation: exactly the content-changed buckets re-run; removed buckets cleaned; final output equals from-scratch") {
+    val root = tmp()
+    val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"
+    val sortCols = Seq("repo", "path", "constraint_id")
+    val keys = Seq("repo", "path")
+    val df = CodeTable.generate(spark, 3000)
+    CheckpointedRunner.stage(df, keys, numBuckets, staging)
+
+    val first = CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "inc-a", keyCols = keys)
+    assert(first === (0 until numBuckets)) // cold start: everything pending
+    // identical content => second invocation is a no-op (content-addressed)
+    assert(CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "inc-b", keyCols = keys).isEmpty)
+
+    // snapshot 2: edit the content of ~1/7 of rows (sha fixture updated with
+    // it), and remove EVERY row of one bucket entirely
+    val bucketOf = CheckpointedRunner.bucketExpr(keys, numBuckets)
+    val removedBucket = 5
+    val df2 = df
+      .withColumn("content",
+        when(xxhash64(col("repo"), col("path")) % 7 === 0, concat(col("content"), lit(" EDITED")))
+          .otherwise(col("content")))
+      .withColumn("content_sha256", sha2(col("content"), 256))
+      .filter(bucketOf =!= removedBucket)
+    CheckpointedRunner.stage(df2, keys, numBuckets, staging)
+
+    val expectChanged = df2
+      .filter(xxhash64(col("repo"), col("path")) % 7 === 0)
+      .select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val second = CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "inc-c", keyCols = keys)
+    assert(second.toSet === expectChanged, s"pending=$second expected=$expectChanged")
+    assert(!second.contains(removedBucket))
+    // removed bucket's stale output partition was deleted
+    assert(!new java.io.File(s"$out/bucket=$removedBucket").exists())
+
+    // the incremental final state equals a from-scratch run over snapshot 2
+    val outFull = s"$root/outFull"
+    CheckpointedRunner.run(spark, staging, s"$root/mFull", outFull, numBuckets,
+      process, sortCols, runId = "full", keyCols = keys)
+    val a = spark.read.parquet(out); val b = spark.read.parquet(outFull)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+
+    // and a third incremental invocation over the same snapshot is a no-op
+    assert(CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "inc-d", keyCols = keys).isEmpty)
+
+    // manifest: fingerprints recorded for incremental rows; append-only log
+    val manifest = spark.read.schema(CheckpointedRunner.manifestSchema).parquet(m)
+    assert(manifest.filter(col("fingerprint").isNotNull).count() >= numBuckets)
+    assert(manifest.filter(col("bucket") === removedBucket && col("rows") === 0).count() === 1)
+  }
+
+  test("snapshot diff: added/removed/changed buckets; unchanged buckets emit no row") {
+    val prev = CodeTable.generate(spark, 800)
+    val bucketOf = CheckpointedRunner.bucketExpr(Seq("repo", "path"), numBuckets)
+    val cur = prev
+      .filter(bucketOf =!= 2) // bucket 2 removed
+      .withColumn("content",
+        when(bucketOf === 4, concat(col("content"), lit("x"))).otherwise(col("content")))
+    val d = CheckpointedRunner.snapshotDiff(cur, prev, Seq("repo", "path"), numBuckets)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(d(2) === "removed")
+    assert(d(4) === "changed")
+    assert(d.size === 2, d.toString) // every other bucket: no row
+    // a pure row-order change is NOT a change (order-independent fingerprint)
+    val shuffled = prev.orderBy(rand(7))
+    assert(CheckpointedRunner.snapshotDiff(shuffled, prev, Seq("repo", "path"), numBuckets)
+      .collect().isEmpty)
+  }
+
   test("staged layout partition-prunes: per-bucket read touches one directory") {
     val root = tmp()
     val staging = s"$root/staging"

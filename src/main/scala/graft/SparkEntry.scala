@@ -410,6 +410,10 @@ object SparkEntry {
         broadcastDim = true, keyCols = Seq("o_orderkey"))
     }),
 
+    // ---- N12 key-skew profile (drives the salting decision N6 takes as a parameter) ------------------------
+    "q_skew_profile" -> ((s, dir) =>
+      Checks.keySkewProfile(t(s, dir, "events"), Seq("user_id"), topK = 10, parallelism = 32)),
+
     // ---- N7 drift histograms --------------------------------------------------------------------------------
     "q_drift_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -864,6 +868,22 @@ object SparkEntry {
          SELECT o_orderkey, 'referential.o_custkey' AS constraint_id,
                 'dangling reference (' || CAST(fk AS VARCHAR) || ')' AS reason
          FROM child WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fk)""",
+
+    "q_skew_profile" ->
+      """WITH counts AS (
+           SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                        COUNT(*) AS distinct_keys FROM counts),
+         top AS (
+           SELECT key, cnt,
+                  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank
+           FROM counts QUALIFY rank <= 10)
+         SELECT rank, key, cnt,
+                (cnt * 10000) // total_rows AS pct_x10000,
+                GREATEST(1, (cnt * 32 + total_rows - 1) // total_rows) AS salt_factor,
+                total_rows, distinct_keys
+         FROM top, tot""",
 
     "q_drift_hist" ->
       """SELECT b.lang, b.base_cnt, COALESCE(c.cur_cnt, 0) AS cur_cnt

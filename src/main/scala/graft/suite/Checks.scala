@@ -197,4 +197,50 @@ object Checks {
       ksFromHistograms(cont(baseline), cont(current)),
       psiThreshold, ksThreshold)
   }
+
+  // --------------------------------------------------------------------------
+  // N12: key-skew profile — the measurement that DRIVES the salting decision
+  // the referential check takes as a parameter. Heavy hitters of a join/agg
+  // key, each with its share of the table and the salt factor that would
+  // spread it evenly over `parallelism` shuffle partitions. All integer
+  // arithmetic (floor division), so the report is bit-stable across engines.
+  //
+  // Scale model: ONE partial+final hash aggregate over the table produces the
+  // per-key counts (shuffle carries (key, long) partials, never rows); totals
+  // are an aggregate OVER that small counts frame and the top-K is a
+  // TakeOrdered on it. The counts frame is read by both branches — at
+  // 10^12 rows with ~10^8 distinct keys this re-runs the count aggregate
+  // once, which is the price of keeping the distinct-key set out of a single
+  // window partition (the alternative global-window shape funnels every
+  // distinct key through one task).
+  // --------------------------------------------------------------------------
+
+  /** Top-`topK` heaviest keys: (rank, key, cnt, pct_x10000, salt_factor,
+    * total_rows, distinct_keys). `salt_factor` = ceil(cnt * parallelism /
+    * total_rows), floored at 1 — the number of salt buckets that splits this
+    * key to ~one shuffle partition's fair share; keys with salt_factor 1 need
+    * no salting. Rank breaks count ties by key string ascending, so the
+    * report is deterministic. Null key values profile as the empty string
+    * segment of the concatenated key. */
+  def keySkewProfile(
+      df: DataFrame, keyCols: Seq[String], topK: Int, parallelism: Int): DataFrame = {
+    val keyStr = concat_ws("|", keyCols.map(c => col(c).cast(StringType)): _*)
+    val counts = df.groupBy(keyStr.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).cast(LongType).as("total_rows"),
+      count(lit(1)).as("distinct_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)).cast(LongType))
+      // `div`, not `/`: Column `/` on longs is DOUBLE division, which loses
+      // exactness past 2^53 (cnt * 10000 at 10^12 rows); div stays integral
+      .withColumn("pct_x10000", expr("(cnt * 10000L) div total_rows"))
+      .withColumn("salt_factor",
+        greatest(lit(1L),
+          expr(s"(cnt * ${parallelism}L + total_rows - 1) div total_rows")))
+      .select("rank", "key", "cnt", "pct_x10000", "salt_factor",
+        "total_rows", "distinct_keys")
+  }
 }

@@ -96,6 +96,29 @@ class SuiteSpec extends SparkSpec {
     assert(rep.violations.exists(_._1 == "drift.ks"))
   }
 
+  test("N12 skew profile: planted mega-key ranks first with the right salt factor; integer math exact") {
+    // 50 rows of one key + 10 singletons = 60 rows, 11 distinct keys
+    val df = ((1 to 50).map(_ => "org0/mega") ++ (1 to 10).map(i => s"org$i/r"))
+      .toDF("repo")
+    val rows = Checks.keySkewProfile(df, Seq("repo"), topK = 3, parallelism = 4)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 3)
+    val (rank1, key1, cnt1, pct1, salt1, total, distinct) = rows.head
+    assert(rank1 === 1L && key1 === "org0/mega" && cnt1 === 50L)
+    assert(total === 60L && distinct === 11L)
+    assert(pct1 === 8333L)              // (50*10000) div 60
+    assert(salt1 === 4L)                // ceil(50*4/60) = 4 salt buckets
+    // singleton keys need no salting; ties broken by key ascending
+    assert(rows(1)._3 === 1L && rows(1)._5 === 1L)
+    assert(rows(1)._2 < rows(2)._2)
+    // the planted CodeTable mega-repo surfaces the same way (~20% of rows)
+    val mega = Checks.keySkewProfile(base, Seq("repo"), topK = 1, parallelism = 32)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().head
+    assert(mega._2 === "org0/mega")
+    assert(mega._4 > 1500L && mega._4 < 2500L) // ~20% share
+    assert(mega._5 >= 6L)                      // needs real salting at p=32
+  }
+
   test("generation is deterministic: same seed => identical table") {
     def fingerprint() = CodeTable.generate(spark, 1000)
       .withColumn("h", xxhash64(col("repo"), col("path"), col("commit"), col("lang"), col("content")))

@@ -586,6 +586,18 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
         .select(col("doc_id"), col("split"))),
 
+    // ---- sharding: per-stratum deterministic sample (training-mix curation) ------------------------------
+    "q_stratified_sample" -> ((s, dir) =>
+      Sharding.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.1, salt = "mix")
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- sharding: weighted corpus mixing by fractional repetition --------------------------------------
+    "q_weighted_mix" -> ((s, dir) =>
+      Sharding.sampleByWeights(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0), defaultWeight = 1.0, salt = "w1")
+        .select(col("doc_id"), col("source"), col("copy"))),
+
     // ---- sharding: shard-local sequence packing by cost budget -------------------------------------------
     "q_pack_bins" -> ((s, dir) =>
       Sharding.packByCostBudget(t(s, dir, "documents"), "source", "doc_id", "n_chars", 10000L)
@@ -1113,6 +1125,27 @@ object SparkEntry {
          FROM (SELECT doc_id,
                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT) / 4294967296.0 AS u
                FROM documents)""",
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT AS hv
+           FROM documents)
+         WHERE hv < CASE WHEN lang = 'en' THEN 2147483648
+                         WHEN lang = 'es' THEN 1073741824
+                         ELSE 429496729 END""",
+
+    "q_weighted_mix" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+                  CASE WHEN source = 'src0' THEN 2 + CASE WHEN hv < 2147483648 THEN 1 ELSE 0 END
+                       WHEN source = 'src1' THEN CASE WHEN hv < 1073741824 THEN 1 ELSE 0 END
+                       WHEN source = 'src2' THEN 0
+                       ELSE 1 END AS n
+           FROM (SELECT doc_id, source,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 8))::BIGINT AS hv
+                 FROM documents))
+         SELECT doc_id, source, unnest(range(0, n)) AS copy FROM c WHERE n > 0""",
 
     "q_pack_shards" ->
       """WITH h AS (

@@ -87,4 +87,71 @@ object Sharding {
       df: DataFrame, shardCol: String, orderCol: String, costCol: String,
       budget: Long): DataFrame =
     packByCostBudget(df, Seq(shardCol), orderCol, costCol, budget)
+
+  /** The integer form of [[unitHash]]: uniform in [0, 2^32) from the same
+    * md5 value hash. Sampling decisions compare THIS against a precomputed
+    * integer threshold (floor(fraction * 2^32)) — an integer compare has no
+    * float-boundary ambiguity, so every engine reproduces the row set. */
+  def intHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  private def threshold(fraction: Double): Long =
+    math.floor(fraction * 4294967296.0).toLong
+
+  /** Deterministic per-stratum Bernoulli sample: keeps a row iff the md5 value
+    * hash of its key falls under its stratum's fraction — the training-mix
+    * curation primitive (e.g. keep 50% of 'en', 10% of everything else).
+    * Value-keyed like [[hashSplit]]: stable under repartitioning and corpus
+    * growth, `salt` re-rolls, and the same key always gets the same verdict.
+    * Strata not in `fractions` (including null) use `defaultFraction`.
+    * One codegen'd filter — no shuffle, no sampling state, pushes down to the
+    * scan like any predicate. Null keys raise (same contract as hashSplit). */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val h = intHash(col(keyCol), salt)
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(lit(threshold(defaultFraction)): Column) {
+      case ((s, f), acc) => when(col(strataCol) === s, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"stratifiedSample: null key in column '$keyCol'")))
+        .otherwise(h < thr))
+  }
+
+  /** Deterministic per-stratum corpus mixing by fractional repetition weight:
+    * each row appears floor(w) times plus one more iff the md5 value hash
+    * falls under frac(w) — so a stratum weighted 2.5 contributes each row 2
+    * or 3 times (expected 2.5x), 0.25 keeps a quarter of rows once, and 0
+    * drops the stratum. Output gains a `copy` column (0-based repetition
+    * index) so downstream exact dedup does not collapse the planned repeats.
+    * The explode is narrow (no shuffle); weights are per-VALUE-key stable
+    * like [[stratifiedSample]]. Strata not in `weights` (including null) use
+    * `defaultWeight`. Null keys raise. */
+  def sampleByWeights(
+      df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "weights must be non-negative")
+    val h = intHash(col(keyCol), salt)
+    def copiesOf(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      lit(whole) + when(h < lit(threshold(w - whole)), 1L).otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1).foldRight(copiesOf(defaultWeight)) {
+      case ((s, w), acc) => when(col(strataCol) === s, copiesOf(w)).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        when(col(keyCol).isNull,
+          raise_error(lit(s"sampleByWeights: null key in column '$keyCol'")))
+          .otherwise(copies))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

@@ -679,6 +679,52 @@ class OpsSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("stratified sample: per-stratum rates, value-stable, growth-stable, null key raises") {
+    val df = docs.select($"doc_id", $"lang")
+    val kept = Sharding.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 1.0, "es" -> 0.0), defaultFraction = 0.5, salt = "t")
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val inLang = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === inLang("en"))          // fraction 1.0 keeps everything
+    assert(!byLang.contains("es"))                 // fraction 0.0 drops the stratum
+    val others = inLang.keySet - "en" - "es"
+    others.foreach { l =>                          // default 0.5 within binomial bounds
+      assert(byLang(l) > inLang(l) / 4 && byLang(l) < inLang(l) * 3 / 4 + inLang(l) / 4,
+        s"$l: ${byLang(l)}/${inLang(l)}")
+    }
+    // verdicts keyed on the VALUE: repartitioning and corpus growth never flip a row
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sharding.stratifiedSample(df.repartition(13), "doc_id", "lang",
+      Map("en" -> 1.0, "es" -> 0.0), 0.5, "t").select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+    val grown = Sharding.stratifiedSample(df.unionAll(df.select(($"doc_id" + 500000).as("doc_id"), $"lang")),
+      "doc_id", "lang", Map("en" -> 1.0, "es" -> 0.0), 0.5, "t")
+      .filter($"doc_id" < 500000).select("doc_id").as[Long].collect().toSet
+    assert(ids === grown)
+    intercept[Exception] {
+      Sharding.stratifiedSample(Seq((Option.empty[Long], "en")).toDF("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 1.0)).collect()
+    }
+  }
+
+  test("weighted mix: fractional repetition gives floor/ceil copies at the right rate; copy indexes dense") {
+    val df = docs.select($"doc_id", $"source")
+    val out = Sharding.sampleByWeights(df, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.0), defaultWeight = 1.0, salt = "w")
+    val copies = out.groupBy("doc_id", "source").count().as[(Long, String, Long)].collect()
+    assert(copies.filter(_._2 == "src0").forall(c => c._3 == 2L || c._3 == 3L))
+    assert(copies.forall(_._2 != "src1"))          // weight 0 drops the stratum
+    assert(copies.filter(c => c._2 != "src0").forall(_._3 == 1L))
+    val n0 = copies.count(_._2 == "src0")
+    val n3 = copies.count(c => c._2 == "src0" && c._3 == 3L)
+    assert(n3 > n0 / 4 && n3 < n0 * 3 / 4, s"$n3/$n0") // ~half get the extra copy
+    // copy column is a dense 0-based index per row
+    val idx = out.filter($"source" === "src0").groupBy("doc_id")
+      .agg(sort_array(collect_list($"copy")).as("c")).select("c")
+      .as[Seq[Long]].collect()
+    assert(idx.forall(c => c == (0L until c.length.toLong)))
+  }
+
   test("hash split: null key raises instead of silently landing in the last split") {
     val df = Seq(Some(1L), Some(2L), None).toDF("id")
     val e = intercept[Exception] {

@@ -410,6 +410,10 @@ object SparkEntry {
         broadcastDim = true, keyCols = Seq("o_orderkey"))
     }),
 
+    // ---- N4b quartile profiling (x4-integer encoding keeps the oracle float-free) --------------------------
+    "q_profile_quantiles" -> ((s, dir) =>
+      Checks.profileQuartiles(t(s, dir, "documents"), Seq("n_chars", "doc_id"), exact = true)),
+
     // ---- N12 key-skew profile (drives the salting decision N6 takes as a parameter) ------------------------
     "q_skew_profile" -> ((s, dir) =>
       Checks.keySkewProfile(t(s, dir, "events"), Seq("user_id"), topK = 10, parallelism = 32)),
@@ -880,6 +884,13 @@ object SparkEntry {
          SELECT o_orderkey, 'referential.o_custkey' AS constraint_id,
                 'dangling reference (' || CAST(fk AS VARCHAR) || ')' AS reason
          FROM child WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fk)""",
+
+    "q_profile_quantiles" -> Seq("n_chars", "doc_id").map(c =>
+      s"""SELECT '$c' AS col_name,
+                 CAST(quantile_cont($c, 0.25) * 4 AS BIGINT) AS p25_x4,
+                 CAST(quantile_cont($c, 0.5) * 4 AS BIGINT) AS p50_x4,
+                 CAST(quantile_cont($c, 0.75) * 4 AS BIGINT) AS p75_x4
+          FROM documents""").mkString(" UNION ALL "),
 
     "q_skew_profile" ->
       """WITH counts AS (

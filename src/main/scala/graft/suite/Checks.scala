@@ -199,6 +199,40 @@ object Checks {
   }
 
   // --------------------------------------------------------------------------
+  // N4b: quartile profiling — min/max (already in profile) say nothing about
+  // the body of a distribution; quartiles feed drift baselines and length-
+  // budget decisions. One aggregation pass, unpivoted like profile().
+  //
+  // `exact = false` (the 10^12-row default) uses approx_percentile — a
+  // mergeable sketch, partial-aggregated map-side like any hash aggregate.
+  // `exact = true` uses percentile(), whose state is a value->count map: fine
+  // for bounded-cardinality columns (lengths, enums, dates), memory-heavy for
+  // unbounded ones — it exists so small-scale runs are oracle-reproducible.
+  //
+  // Values are reported x4 as BIGINT: quartile positions are q*(n-1) with
+  // q in quarters, so the interpolated value of an integral column is always
+  // a multiple of 1/4 — x4 makes it an exact integer, immune to float
+  // formatting/rounding differences between engines.
+  // --------------------------------------------------------------------------
+  def profileQuartiles(
+      df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val aggs: Seq[Column] = cols.map { c =>
+      (if (exact) percentile(col(c), qs)
+       else approx_percentile(col(c), qs, lit(10000))).as(s"${c}__q")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        (element_at(col(s"${c}__q"), 1) * 4).cast(LongType).as("p25_x4"),
+        (element_at(col(s"${c}__q"), 2) * 4).cast(LongType).as("p50_x4"),
+        (element_at(col(s"${c}__q"), 3) * 4).cast(LongType).as("p75_x4"))
+    }
+    one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
+  }
+
+  // --------------------------------------------------------------------------
   // N12: key-skew profile — the measurement that DRIVES the salting decision
   // the referential check takes as a parameter. Heavy hitters of a join/agg
   // key, each with its share of the table and the salt factor that would

@@ -119,6 +119,17 @@ class SuiteSpec extends SparkSpec {
     assert(mega._5 >= 6L)                      // needs real salting at p=32
   }
 
+  test("N4b quartiles: exact x4 values on a known distribution; approx within sketch error") {
+    // 0..99 has known quartiles 24.75 / 49.5 / 74.25 -> x4 = 99 / 198 / 297
+    val df = spark.range(100).toDF("v")
+    val ex = Checks.profileQuartiles(df, Seq("v"), exact = true)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(ex === (("v", 99L, 198L, 297L)))
+    val ap = Checks.profileQuartiles(df, Seq("v"), exact = false)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(math.abs(ap._3 - 198L) <= 8L) // approx sketch, generous bound
+  }
+
   test("generation is deterministic: same seed => identical table") {
     def fingerprint() = CodeTable.generate(spark, 1000)
       .withColumn("h", xxhash64(col("repo"), col("path"), col("commit"), col("lang"), col("content")))

@@ -555,6 +555,19 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
+    // ---- similarity: product-quantized ADC search (32x smaller codes; exact oracle via iters=0 codebooks) ----------------
+    "q_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, kSub = 16,
+        iters = 0, sampleSize = 16)
+      val enc = Similarity.pqEncode(e, "vec_id", "embedding", books)
+      Similarity.pqTopKCosine(enc, books, q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+    }),
+
     // ---- similarity: int8-quantized search (4x smaller vectors; scale cancels in cosine ranking) -------------------------
     "q_ann_int8" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1068,6 +1081,41 @@ object SparkEntry {
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
              vec_id AS id
       FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    // PQ recomputed verbatim: iters=0 codebooks are the unit-normalized 16
+    // smallest-id vectors' subvectors; encode = per-subspace L2 argmin (ties
+    // smallest j); ADC = sum of per-subspace dot lookups. Float arithmetic
+    // GROUPING mirrors the engine exactly (per-subspace sums first, then the
+    // 8-term total), so the sims are bit-identical and only (rank, id) is
+    // emitted.
+    "q_ann_pq" -> {
+      val dist = (1 to 8).map(i => s"(su[$i]-cs[$i])*(su[$i]-cs[$i])").mkString(" + ")
+      val dotQ = (1 to 8).map(i => s"qsv[$i]*cs[$i]").mkString(" + ")
+      val wide = (0 until 8).map(m => s"max(CASE WHEN mi=$m THEN t END) AS t$m").mkString(", ")
+      val score = (0 until 8).map(m => s"t$m").mkString(" + ")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ev),
+         uv AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u FROM nv),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS j, u AS cu
+                FROM (SELECT vec_id, u FROM uv ORDER BY vec_id ASC LIMIT 16)),
+         ms AS (SELECT CAST(t.range AS INTEGER) AS mi FROM range(8) t),
+         sub AS (SELECT vec_id, mi, u[mi*8+1 : mi*8+8] AS su FROM uv, ms),
+         csub AS (SELECT j, mi, cu[mi*8+1 : mi*8+8] AS cs FROM cb, ms),
+         enc AS (SELECT vec_id, mi, j AS code FROM (
+            SELECT sub.vec_id, sub.mi, csub.j,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.mi
+                     ORDER BY $dist ASC, csub.j ASC) AS rn
+            FROM sub JOIN csub USING (mi)) WHERE rn = 1),
+         qs AS (SELECT mi, u[mi*8+1 : mi*8+8] AS qsv FROM uv, ms WHERE vec_id = 7),
+         tbl AS (SELECT qs.mi, csub.j, $dotQ AS t FROM qs JOIN csub ON qs.mi = csub.mi),
+         pick AS (SELECT enc.vec_id, enc.mi, tbl.t
+                  FROM enc JOIN tbl ON enc.mi = tbl.mi AND enc.code = tbl.j),
+         wide AS (SELECT vec_id, $wide FROM pick GROUP BY vec_id),
+         scored AS (SELECT vec_id, $score AS sim FROM wide)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+                vec_id AS id
+         FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+    },
 
     // Int8 quantization recomputed verbatim: scale = max|x|/127, codes =
     // round(x*127/max|x|); ranking runs on the codes (scale cancels). All-zero

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
+
+/** Product-quantization encode: unit-normalize the vector, split it into
+  * `m` contiguous subvectors, and emit for each the index of the L2-nearest
+  * subspace centroid — one byte per subspace (`kSub` <= 256), so a 64-float
+  * vector (256 B) becomes 8 B: the 32x memory compression that lets a
+  * 10^9-vector index live in executor memory. One JITed static call per row
+  * (the HOF-lambda shape would be CodegenFallback AND re-evaluate the
+  * normalization per element — see CLAUDE.md).
+  *
+  * Determinism contract (the q_ann_pq oracle recomputes all of it):
+  * normalization is element / norm (a division, not a multiply by the
+  * reciprocal — different rounding); zero vectors skip normalization and
+  * encode raw; L2^2 accumulates left-to-right in double; argmin ties keep the
+  * SMALLEST centroid index (strict `<`). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double|float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  // never touch child.dataType at construction (unresolved children)
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], books, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("codebooks", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqEncode.compute($c, $b, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Static so generated code can call it. */
+  def compute(emb: ArrayData, books: Array[Array[Array[Double]]], isFloat: Boolean): Array[Byte] = {
+    val n = emb.numElements()
+    val u = new Array[Double](n)
+    var i = 0
+    var sq = 0.0
+    while (i < n) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      u(i) = x
+      sq += x * x
+      i += 1
+    }
+    val norm = math.sqrt(sq)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) { u(i) = u(i) / norm; i += 1 }
+    }
+    val m = books.length
+    val codes = new Array[Byte](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cents = books(mi)
+      val sub = cents(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var d = 0.0
+        var s = 0
+        while (s < sub && off + s < n) {
+          val diff = u(off + s) - c(s)
+          d += diff * diff
+          s += 1
+        }
+        if (d < bestD) { bestD = d; best = j } // ties: smallest index
+        j += 1
+      }
+      codes(mi) = best.toByte
+      off += sub
+      mi += 1
+    }
+    codes
+  }
+
+  def apply(c: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graftbridge.toColumn(PqEncode(graftbridge.toExpression(c), codebooks))
+}
+
+/** Asymmetric-distance (ADC) score over PQ codes: the query is NOT quantized;
+  * its per-subspace dot products with every centroid are precomputed on the
+  * driver into an m x kSub table, and each row's score is the sum of m table
+  * lookups — 8 array reads + 8 adds per candidate instead of a 64-element
+  * dot. Summation is over subspaces left-to-right (the oracle mirrors the
+  * grouping: per-subspace dots first, then the m-term sum). */
+case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects binary codes, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  @transient private lazy val tbl: Array[Array[Double]] = table.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqAdcScore.compute(v.asInstanceOf[Array[Byte]], tbl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("adcTable", tbl, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqAdcScore.compute($c, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}
+
+object PqAdcScore {
+  /** Static so generated code can call it. */
+  def compute(codes: Array[Byte], table: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var mi = 0
+    val m = math.min(codes.length, table.length)
+    while (mi < m) {
+      s += table(mi)(codes(mi) & 0xFF)
+      mi += 1
+    }
+    s
+  }
+
+  def apply(c: Column, table: Seq[Seq[Double]]): Column =
+    graftbridge.toColumn(PqAdcScore(graftbridge.toExpression(c), table))
+}

@@ -271,6 +271,105 @@ object Similarity {
         .limit(k))
   }
 
+  // --------------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-scale path: a 64-float vector
+  // (256 B) becomes m = 8 one-byte codes (32x compression), so a 10^9-vector
+  // index fits in executor memory where raw floats cannot. Queries score via
+  // ADC (asymmetric distance): the query stays full-precision, its
+  // per-subspace dots with every centroid are a tiny driver-side m x kSub
+  // table, and each candidate costs m table lookups + m adds instead of a
+  // dim-element dot. Codebooks broadcast with the plan (addReferenceObj);
+  // the scoring scan is one codegen'd pass, composable with the IVF cell
+  // pruning (encode the IVF index's cell-partitioned corpus) for the
+  // standard IVF-PQ layout.
+  // --------------------------------------------------------------------------
+
+  /** Train PQ codebooks: deterministic sample (smallest `sampleSize` ids —
+    * same TakeOrdered discipline as [[ivfTrain]]: never a per-query scan),
+    * unit-normalize (cosine geometry), split into `m` contiguous subspaces,
+    * Lloyd per subspace under L2. `iters = 0` => codebook(mi) = the mi-th
+    * subvectors of the `kSub` smallest-id samples — reproducible by any
+    * engine from the data alone (the q_ann_pq oracle recomputes it).
+    * Ties in assignment keep the smallest centroid index; empty clusters
+    * keep their previous centroid. */
+  def pqTrain(
+      df: DataFrame, idCol: String, embCol: String, m: Int = 8, kSub: Int = 16,
+      iters: Int = 3, sampleSize: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = df
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
+      .orderBy("id").limit(math.max(sampleSize, kSub))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= kSub, s"need >= $kSub vectors to train $kSub codes")
+    require(kSub <= 256, "kSub must fit one byte per code")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val points = sample.map(unit)
+    (0 until m).map { mi =>
+      val off = mi * sub
+      val sp = points.map(p => java.util.Arrays.copyOfRange(p, off, off + sub))
+      var cents: Array[Array[Double]] = sp.take(kSub).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kSub)(new Array[Double](sub))
+        val counts = new Array[Int](kSub)
+        sp.foreach { p =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < kSub) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val x = p(i) - cents(j)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = j } // ties: smallest index
+            j += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Encode the corpus: (id, codes binary) — ONE codegen'd scan, no shuffle.
+    * Zero vectors encode their raw (unnormalizable) form; their ADC score is
+    * well-defined but meaningless, like any cosine of a zero vector. */
+  def pqEncode(
+      df: DataFrame, idCol: String, embCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.PqEncode(col(embCol), codebooks).as("codes"))
+
+  /** The driver-side ADC table for one query: table(mi)(j) = dot of the
+    * unit-normalized query's mi-th subvector with codebook centroid j. */
+  def pqAdcTable(codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double]): Seq[Seq[Double]] = {
+    val qu = unit(query.toArray)
+    codebooks.zipWithIndex.map { case (cents, mi) =>
+      val sub = cents.head.length
+      val off = mi * sub
+      cents.map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qu(off + i) * c(i); i += 1 }
+        d
+      }
+    }
+  }
+
+  /** Approximate top-k cosine over PQ codes (ADC): m lookups + m adds per
+    * row, TakeOrdered keeps k per partition. The score approximates the
+    * cosine of unit vectors (exact for vectors on their codebook centroids);
+    * re-rank the k survivors against raw vectors when exactness matters. */
+  def pqTopKCosine(
+      encoded: DataFrame, codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double],
+      k: Int): DataFrame =
+    rankTopK(
+      encoded.select(col("id"),
+        graft.functions.PqAdcScore(col("codes"), pqAdcTable(codebooks, query)).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k))
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Exact O(n^2) flavor
     * for verification; LSH-bucketed flavor for scale (pairs only form inside a
     * bucket — brute force within buckets of similar vectors). */

@@ -254,6 +254,40 @@ class OpsSpec extends SparkSpec {
     quant.unpersist()
   }
 
+  test("PQ: 32x codes, ADC exact on codebook points, own-vector top rank, stable under repartition") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val books = Similarity.pqTrain(embs, "vec_id", "embedding", m = 8, kSub = 16, iters = 3)
+    assert(books.length === 8 && books.forall(_.length === 16) && books.forall(_.forall(_.length === 8)))
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", books).cache()
+    // codes are m bytes (the 32x claim vs 64 floats) and reference valid centroids
+    val c0 = enc.orderBy("id").collect().head.getAs[Array[Byte]]("codes")
+    assert(c0.length === 8 && c0.forall(b => (b & 0xFF) < 16))
+    // ADC is EXACT for a vector that sits on its codebook centroids: with
+    // iters=0 the smallest-id sample IS its own codebook entry in every
+    // subspace, so encoding has zero distortion and self-ADC = ||u||^2 = 1
+    val books0 = Similarity.pqTrain(embs, "vec_id", "embedding", m = 8, kSub = 16,
+      iters = 0, sampleSize = 16)
+    val v0id = embs.orderBy("vec_id").select($"vec_id").as[Long].collect().head
+    val v0 = embs.filter($"vec_id" === v0id).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val s0 = Similarity.pqTopKCosine(
+      Similarity.pqEncode(embs.filter($"vec_id" === v0id), "vec_id", "embedding", books0),
+      books0, v0, 1).select($"cosine").as[Double].collect().head
+    assert(math.abs(s0 - 1.0) < 1e-9, s"ADC self-score $s0")
+    // querying a corpus vector ranks it at/near the top despite 32x compression
+    val top = Similarity.pqTopKCosine(enc, books, q, 10).select("id").as[Long].collect()
+    assert(top.take(3).contains(7L), s"own vector not in top-3: ${top.toSeq}")
+    // deterministic and partitioning-independent
+    val enc2 = Similarity.pqEncode(embs.repartition(13), "vec_id", "embedding", books)
+    assert(Similarity.pqTopKCosine(enc2, books, q, 10).select("id").as[Long].collect()
+      .toSeq === top.toSeq)
+    // zero vector encodes without NaN/exception
+    val z = Seq((1L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(z, "vec_id", "embedding", books).collect().length === 1)
+    enc.unpersist()
+  }
+
   test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {
     // 40 byte-identical docs: every band bucket holds all 40 ids. A cap of 10
     // drops ALL of them — without the audit that would read as "no near-dups".

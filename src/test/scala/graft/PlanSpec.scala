@@ -160,6 +160,19 @@ class PlanSpec extends SparkSpec {
       graft.ops.TextOps.langId(col("text")).as("lang")))
     assert(pLang.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
       s"lang_id projection not codegen'd:\n$pLang")
+    // PQ encode + ADC score (the full-corpus passes of the 32x-compressed
+    // ANN path) are native Expressions too
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = graft.ops.Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, kSub = 16, iters = 0, sampleSize = 16)
+    val pEnc = plan(graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", books))
+    assert(pEnc.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"pq_encode projection not codegen'd:\n$pEnc")
+    val table = graft.ops.Similarity.pqAdcTable(books, Seq.fill(64)(0.1))
+    val pAdc = plan(graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", books)
+      .select(col("id"), graft.functions.PqAdcScore(col("codes"), table).as("s")))
+    assert(pAdc.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"pq_adc_score projection not codegen'd:\n$pAdc")
   }
 
   test("cost-budget packing windows partition by the full composite shard key") {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.checkpoint.CheckpointedRunner
 import graft.run.Validator
 import graft.suite.CodeTable
 import org.apache.spark.sql.SparkSession
@@ -308,6 +309,49 @@ object Bench {
     val effRowPassBestPair = (0 until outer).map(pairEff(_)(_._2("row_pass"))).max
     val effRowPass = math.min(1.0, math.max(effRowPassMin, effRowPassBestPair))
 
+    // ---- part 3: incremental-revalidation evidence (N11) -------------------
+    // Same code table: stage into buckets, validate everything once, then
+    // re-stage a snapshot where ONE bucket's content changed and time the
+    // content-addressed incremental run. At 10^12 files snapshots change a
+    // sliver per day — the delta cost (fingerprint scan + changed buckets
+    // only) vs the full cost IS the operational story. Timed single-sided
+    // (no N/4N pair): it is a cost-model measurement, not a scaling one.
+    val skipIncremental = sys.env.get("SPARK_GRAFT_SKIP_INCREMENTAL").contains("1")
+    val incJson = if (skipIncremental) "null" else {
+      val s = session(cpus)
+      try {
+        val incRoot = s"$root/incremental"
+        val staging = s"$incRoot/staging"; val manifest = s"$incRoot/manifest"
+        val outDir = s"$incRoot/out"
+        val buckets = 64
+        val keys = Seq("repo", "path")
+        val sortCols = Seq("repo", "path", "constraint_id")
+        def process(in: org.apache.spark.sql.DataFrame) =
+          graft.run.Validator.validate(CodeTable.codeSchema,
+            in.withColumn("sha_fixture", col("content_sha256"))).violations
+        val snapshot1 = s.read.parquet(tableDir)
+        CheckpointedRunner.stage(snapshot1, keys, buckets, staging)
+        val fullSec = time {
+          CheckpointedRunner.incrementalRun(s, staging, manifest, outDir, buckets,
+            process, sortCols, runId = "bench-full", keyCols = keys)
+        }
+        // snapshot 2: touch the content of one bucket's rows (sha updated)
+        val bucketOf = CheckpointedRunner.bucketExpr(keys, buckets)
+        val snapshot2 = snapshot1
+          .withColumn("content",
+            when(bucketOf === 0, concat(col("content"), lit(" delta"))).otherwise(col("content")))
+          .withColumn("content_sha256", sha2(col("content"), 256))
+        CheckpointedRunner.stage(snapshot2, keys, buckets, staging)
+        var deltaBuckets = Seq.empty[Int]
+        val deltaSec = time {
+          deltaBuckets = CheckpointedRunner.incrementalRun(s, staging, manifest, outDir,
+            buckets, process, sortCols, runId = "bench-delta", keyCols = keys)
+        }
+        f"""{"buckets":$buckets,"full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
+          f""""delta_buckets":${deltaBuckets.size},"speedup":${fullSec / deltaSec}%.1f}"""
+      } finally s.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -329,7 +373,7 @@ object Bench {
         f""""row_pass_sec_local4N":$rowPass4N%.3f,"row_pass_scaling_efficiency":$effRowPass%.3f,""" +
         f""""phases_sec_localN":${phaseJson(phasesN)},"phases_sec_local4N":${phaseJson(phases4N)},""" +
         f""""phase_scaling_efficiency":$phaseEffJson,""" +
-        f""""samples_sec":$sampleJson}"""
+        f""""samples_sec":$sampleJson,"incremental":$incJson}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}""")
     try {

@@ -229,6 +229,32 @@ object Similarity {
       query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame =
     ivfTopKCosineAssigned(ivfAssign(df, idCol, embCol, centroids), centroids, query, k, nprobe)
 
+  /** IVF-PQ: the standard billion-scale layout — coarse cells prune the scan
+    * (only nprobe of numCells partitions read), PQ codes shrink what is
+    * scanned 32x, ADC scores the survivors with m lookups/adds per row. Pure
+    * composition of [[ivfAssign]] + [[pqEncode]] + [[pqTopKCosine]]'s scoring,
+    * so each part keeps its documented contract; persist the returned frame
+    * partitioned by `cell` for the on-disk index (queries partition-prune). */
+  def ivfPqEncode(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      nearestCentroid(col(embCol), centroids).as("cell"),
+      graft.functions.PqEncode(col(embCol), codebooks).as("codes"))
+
+  /** Top-k over an [[ivfPqEncode]]d corpus: cell-prune, then ADC. */
+  def ivfPqTopKCosine(
+      encoded: DataFrame, centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val cells = probeCells(centroids, query, nprobe)
+    rankTopK(
+      encoded.filter(col("cell").isin(cells: _*))
+        .select(col("id"),
+          graft.functions.PqAdcScore(col("codes"), pqAdcTable(codebooks, query)).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k))
+  }
+
   // ---------------------------------------------------------------------------
   // Int8 scalar quantization: 4x less storage and shuffle than float32 — at
   // 100 TB the embedding column IS the data volume, so this is the difference

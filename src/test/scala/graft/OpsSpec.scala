@@ -285,6 +285,17 @@ class OpsSpec extends SparkSpec {
     // zero vector encodes without NaN/exception
     val z = Seq((1L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
     assert(Similarity.pqEncode(z, "vec_id", "embedding", books).collect().length === 1)
+    // IVF-PQ composition: cell pruning + ADC agrees with flat PQ on the
+    // query's own vector and scans only the probed cells
+    val cents = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
+    val ivfpq = Similarity.ivfPqEncode(embs, "vec_id", "embedding", cents, books)
+    assert(ivfpq.select("cell").distinct().count() <= 16)
+    val topIvf = Similarity.ivfPqTopKCosine(ivfpq, cents, books, q, 10, nprobe = 16)
+      .select("id").as[Long].collect()
+    assert(topIvf.toSeq === top.toSeq) // nprobe = all cells == flat PQ exactly
+    val pruned = Similarity.ivfPqTopKCosine(ivfpq, cents, books, q, 10, nprobe = 4)
+      .select("id").as[Long].collect()
+    assert(pruned.take(3).contains(7L))
     enc.unpersist()
   }
 

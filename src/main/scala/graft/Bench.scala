@@ -329,8 +329,16 @@ object Bench {
         def process(in: org.apache.spark.sql.DataFrame) =
           graft.run.Validator.validate(CodeTable.codeSchema,
             in.withColumn("sha_fixture", col("content_sha256"))).violations
+        // fingerprint on the digest column, not raw content (content_sha256
+        // already determines content — it IS validated against it), recorded
+        // at STAGE time as the per-bucket sidecar: the ingest pays one narrow
+        // scan, and every incremental run selects changed buckets from 64
+        // sidecar rows with no table scan — the Iceberg-manifest-stats role
+        val incRowHash = xxhash64(
+          col("id"), col("repo"), col("path"), col("commit"), col("lang"),
+          col("content_sha256"))
         val snapshot1 = s.read.parquet(tableDir)
-        CheckpointedRunner.stage(snapshot1, keys, buckets, staging)
+        CheckpointedRunner.stage(snapshot1, keys, buckets, staging, Some(incRowHash))
         val fullSec = time {
           CheckpointedRunner.incrementalRun(s, staging, manifest, outDir, buckets,
             process, sortCols, runId = "bench-full", keyCols = keys)
@@ -341,7 +349,7 @@ object Bench {
           .withColumn("content",
             when(bucketOf === 0, concat(col("content"), lit(" delta"))).otherwise(col("content")))
           .withColumn("content_sha256", sha2(col("content"), 256))
-        CheckpointedRunner.stage(snapshot2, keys, buckets, staging)
+        CheckpointedRunner.stage(snapshot2, keys, buckets, staging, Some(incRowHash))
         var deltaBuckets = Seq.empty[Int]
         val deltaSec = time {
           deltaBuckets = CheckpointedRunner.incrementalRun(s, staging, manifest, outDir,

@@ -37,7 +37,19 @@ object CheckpointedRunner {
 
   /** One-time layout pass: bucket the input by key hash and write it
     * partitioned by bucket (lineage root for all later runs). */
-  def stage(df: DataFrame, keyCols: Seq[String], numBuckets: Int, stagingDir: String): Unit = {
+  def stage(df: DataFrame, keyCols: Seq[String], numBuckets: Int, stagingDir: String): Unit =
+    stage(df, keyCols, numBuckets, stagingDir, rowHash = None)
+
+  /** [[stage]] that also records a per-bucket fingerprint SIDECAR
+    * (`_fingerprints/` — underscore-prefixed, so data reads skip it): the
+    * ingest pays one narrow post-write scan, and every later
+    * [[incrementalRun]] selects changed buckets from the 1-row-per-bucket
+    * sidecar instead of re-scanning the table — the role Iceberg manifest
+    * stats play. A static-overwrite re-stage wipes the sidecar with the rest
+    * of the layout, so it can never go stale. */
+  def stage(
+      df: DataFrame, keyCols: Seq[String], numBuckets: Int, stagingDir: String,
+      rowHash: Option[Column]): Unit = {
     df.withColumn("bucket",
         pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast(IntegerType))
       .write.mode(SaveMode.Overwrite)
@@ -47,7 +59,16 @@ object CheckpointedRunner {
       // disappeared buckets' old partitions in place on re-stage)
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(stagingDir)
+    rowHash.foreach { h =>
+      val spark = df.sparkSession
+      bucketFingerprints(spark.read.parquet(stagingDir), h)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stagingDir/$FingerprintSidecar")
+    }
   }
+
+  /** Hidden sidecar directory name (underscore => invisible to data reads). */
+  val FingerprintSidecar: String = "_fingerprints"
 
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(manifestDir)
@@ -262,9 +283,19 @@ object CheckpointedRunner {
       keyCols: Seq[String],
       rowHash: Option[Column] = None,
       maxBuckets: Int = Int.MaxValue): Seq[Int] = {
-    val staged = spark.read.parquet(stagingDir)
-    val current = bucketFingerprints(staged, rowHash.getOrElse(defaultRowHash(staged)))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // selection source: the stage-time sidecar when present (1 row per
+    // bucket — no table scan), else one column-pruned fingerprint scan.
+    // Mixing hash functions across snapshots degrades to one full
+    // revalidation (fingerprints mismatch => everything pending), never to
+    // a false skip.
+    val sidecar = new org.apache.hadoop.fs.Path(stagingDir, FingerprintSidecar)
+    val sidecarFs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      (if (sidecarFs.exists(sidecar)) spark.read.parquet(sidecar.toString)
+       else {
+         val staged = spark.read.parquet(stagingDir)
+         bucketFingerprints(staged, rowHash.getOrElse(defaultRowHash(staged)))
+       }).collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val done = doneFingerprints(spark, manifestDir)
     val doneBuckets = done.map(_._1)
     // removed: bucket has an output partition on disk but no staged rows now —

@@ -166,6 +166,39 @@ class CheckpointSpec extends SparkSpec {
     assert(manifest.filter(col("bucket") === removedBucket && col("rows") === 0).count() === 1)
   }
 
+  test("fingerprint sidecar: stage-time stats drive selection; identical pending set; wiped on plain re-stage") {
+    val root = tmp()
+    val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"
+    val sortCols = Seq("repo", "path", "constraint_id")
+    val keys = Seq("repo", "path")
+    val df = CodeTable.generate(spark, 2000)
+    val rh = Some(xxhash64(col("repo"), col("path"), col("commit"), col("content_sha256")))
+    CheckpointedRunner.stage(df, keys, numBuckets, staging, rh)
+    // sidecar exists: one row per occupied bucket, hidden from data reads
+    val sidecar = spark.read.parquet(s"$staging/${CheckpointedRunner.FingerprintSidecar}")
+    assert(sidecar.count() === sidecar.select("bucket").distinct().count())
+    assert(!spark.read.parquet(staging).columns.contains("n_rows"))
+    assert(CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "sc-a", keyCols = keys) === (0 until numBuckets))
+    assert(CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "sc-b", keyCols = keys).isEmpty)
+    // change one key's content; the sidecar-selected pending set matches the
+    // direct fingerprint computation over the new staged data
+    val df2 = df.withColumn("content",
+        when(col("id") % 13 === 0, concat(col("content"), lit("!"))).otherwise(col("content")))
+      .withColumn("content_sha256", sha2(col("content"), 256))
+    CheckpointedRunner.stage(df2, keys, numBuckets, staging, rh)
+    val expect = df2.filter(col("id") % 13 === 0)
+      .select(CheckpointedRunner.bucketExpr(keys, numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val got = CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      process, sortCols, runId = "sc-c", keyCols = keys)
+    assert(got.toSet === expect)
+    // a plain (no-rowHash) re-stage wipes the sidecar — it can never go stale
+    CheckpointedRunner.stage(df2, keys, numBuckets, staging)
+    assert(!new java.io.File(s"$staging/${CheckpointedRunner.FingerprintSidecar}").exists())
+  }
+
   test("snapshot diff: added/removed/changed buckets; unchanged buckets emit no row") {
     val prev = CodeTable.generate(spark, 800)
     val bucketOf = CheckpointedRunner.bucketExpr(Seq("repo", "path"), numBuckets)

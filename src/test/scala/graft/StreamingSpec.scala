@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift: finalized windows scored once against the baseline; drifted window flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val baseline = Map("en" -> 50L, "es" -> 50L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean, Long)]
+    val q = graft.streaming.StreamingDrift.driftStream(
+      input.toDF().toDF("ts", "lang"), "ts", "lang", baseline,
+      windowDuration = "10 seconds", watermarkDelay = "5 seconds",
+      psiThreshold = 0.2) { (report, _) =>
+      got ++= report.collect().map(r => (
+        r.getTimestamp(0).getTime / 1000, r.getDouble(2), r.getBoolean(3), r.getLong(4)))
+    }.start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      // window [0,10): same 50/50 mix as baseline; window [10,20): all-'es'
+      input.addData(
+        Seq(ts(2L) -> "en", ts(3L) -> "es", ts(4L) -> "en", ts(5L) -> "es") ++
+          Seq.fill(6)(ts(12L) -> "es"): _*)
+      q.processAllAvailable()
+      // advance the watermark past both windows to finalize them
+      input.addData(ts(40L) -> "en")
+      q.processAllAvailable()
+      val byWindow = got.groupBy(_._1)
+      assert(byWindow.keySet === Set(0L, 10L), got.toString) // [40,50) not finalized
+      assert(byWindow(0L).size === 1 && byWindow(10L).size === 1) // scored exactly once
+      val (_, psiSame, driftedSame, rowsSame) = byWindow(0L).head
+      val (_, psiDrift, driftedDrift, rowsDrift) = byWindow(10L).head
+      assert(psiSame < 1e-9 && !driftedSame && rowsSame === 4L)
+      assert(psiDrift > 0.2 && driftedDrift && rowsDrift === 6L)
+    } finally q.stop()
+  }
+
   test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

@@ -19,7 +19,8 @@ case class PipelineReport(
     lowQuality: Long,
     output: Long,
     nearDupDroppedBuckets: Long = 0L,
-    nearDupDroppedIds: Long = 0L) {
+    nearDupDroppedIds: Long = 0L,
+    mixedRows: Long = 0L) {
   def removed: Long = invalid + exactDups + nearDups + contaminated + lowQuality
 }
 
@@ -46,6 +47,10 @@ case class PipelineResult(corpus: DataFrame, report: PipelineReport,
   *                                   minimum
   *   decontaminate                -> n-gram hash join vs the benchmark probe
   *   quality filter               -> integer quality + repetition signals
+  *   (optional) corpus mixing     -> per-stratum fractional repetition
+  *                                   weights (sampleByWeights), applied
+  *                                   BEFORE the split so all copies of a
+  *                                   document share one split (no leakage)
   *   split (+ optional packing)   -> md5 hash split; cost-budget bins packed
   *                                   per (split, shard) — `packShards` md5
   *                                   hash buckets, so no split funnels its
@@ -70,6 +75,8 @@ object TrainingPipeline {
       maxBucket: Int = Dedup.DefaultMaxBucket,
       decontamN: Int = 13, decontamMinHits: Long = 1L,
       minQualityScore: Long = 0L, maxTopWordPct: Int = 100,
+      mixStrataCol: Option[String] = None,
+      mixWeights: Map[String, Double] = Map.empty, mixDefaultWeight: Double = 1.0,
       splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
       packBudget: Option[Long] = None, packShards: Int = 64): PipelineResult = {
 
@@ -153,18 +160,40 @@ object TrainingPipeline {
         r.getField("top_word_count") * 100 <= r.getField("n_tokens") * maxTopWordPct)
     val nKept = kept.count() // one cached-corpus pass + the small anti-joins
 
-    val split = Sharding.hashSplit(kept, idCol, splits, splitSalt)
+    // optional per-stratum corpus mixing (fractional repetition weights):
+    // applied BEFORE the split so every copy of a document — keyed on the
+    // same id — lands in the SAME split (a copy in train and its original in
+    // test would be leakage by construction). The mixed-row count is the one
+    // accounting value that cannot ride another action: counting it costs
+    // one extra cached-corpus pass, paid only when mixing is requested.
+    val (mixed, nMixedRows) = mixStrataCol match {
+      case Some(sc) =>
+        val m = Sharding.sampleByWeights(kept, idCol, sc, mixWeights, mixDefaultWeight, splitSalt)
+        (m, m.count())
+      case None => (kept, nKept)
+    }
+
+    val split = Sharding.hashSplit(mixed, idCol, splits, splitSalt)
     val corpus = packBudget match {
       case Some(b) =>
         // fine-grained composite shard key: a bare `split` (1-3 values) would
         // sort each split's ENTIRE corpus in one window partition; (split,
         // md5-shard) keeps every partition 1/packShards of a split, and the
-        // pair is the packed output's natural write partitioning
+        // pair is the packed output's natural write partitioning.
+        // With mixing on, id repeats across copies — the packing order key
+        // must stay unique per shard, so (id, copy) composes into __ord;
+        // without mixing the id keeps its own (typed) ordering as before.
+        val (ordered, orderCol) = mixStrataCol match {
+          case Some(_) => (split.withColumn("__ord",
+            concat(col(idCol).cast("string"), lit("#"), col("copy"))), "__ord")
+          case None => (split, idCol)
+        }
         Sharding.packByCostBudget(
-          split
+          ordered
             .withColumn("shard", Sharding.shardColumn(col(idCol), packShards, splitSalt))
             .withColumn("__cost", TextOps.tokenCountBpeIsh(col(textCol)).cast("long")),
-          Seq("split", "shard"), idCol, "__cost", b).drop("__cost")
+          Seq("split", "shard"), orderCol, "__cost", b)
+          .drop("__cost", "__ord")
       case None => split
     }
 
@@ -177,7 +206,8 @@ object TrainingPipeline {
       lowQuality = nExact - nNearRemoved - nContam - nKept,
       output = nKept,
       nearDupDroppedBuckets = nDropBuckets,
-      nearDupDroppedIds = nDropIds),
+      nearDupDroppedIds = nDropIds,
+      mixedRows = nMixedRows),
       cached = exact +: deconCached)
   }
 

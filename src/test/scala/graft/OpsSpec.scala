@@ -770,6 +770,34 @@ class OpsSpec extends SparkSpec {
     assert(idx.forall(c => c == (0L until c.length.toLong)))
   }
 
+  test("pipeline mixing: copies share a split (no leakage), packing order stays unique, counts reconcile") {
+    val res = TrainingPipeline.run(
+      docs.filter(!$"text".contains("dup")).select($"doc_id", $"text", $"source"),
+      "doc_id", "text",
+      mixStrataCol = Some("source"), mixWeights = Map("src0" -> 2.0, "src1" -> 0.0),
+      splits = Seq("train" -> 0.8, "val" -> 0.2), splitSalt = "mx",
+      packBudget = Some(500L), packShards = 4)
+    val out = res.corpus.select($"doc_id", $"source", $"split", $"shard", $"copy", $"bin")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(out.forall(_._2 != "src1"))                         // weight 0 stratum dropped
+    val bySrc0 = out.filter(_._2 == "src0").groupBy(_._1)
+    assert(bySrc0.nonEmpty && bySrc0.values.forall(_.length === 2)) // integer weight 2 => exactly 2 copies
+    // every copy of a document lands in the SAME split (no cross-split leakage)
+    out.groupBy(_._1).values.foreach(cs => assert(cs.map(_._3).distinct.length === 1))
+    assert(res.report.mixedRows === out.length.toLong)
+    // exact accounting: +1 row per src0 doc (weight 2), -1 per src1 doc
+    // (weight 0); this corpus slice has no exact/near dups, so kept == input
+    val nSrc0 = bySrc0.size.toLong
+    val nSrc1 = docs.filter(!$"text".contains("dup") && $"source" === "src1").count()
+    assert(res.report.mixedRows === res.report.output + nSrc0 - nSrc1)
+    // bins still dense from 0 per (split, shard) despite repeated ids
+    out.groupBy(r => (r._3, r._4)).values.foreach { rows =>
+      val bins = rows.map(_._6).distinct.sorted
+      assert(bins.head === 0L && bins === (bins.head to bins.last))
+    }
+    res.unpersist()
+  }
+
   test("hash split: null key raises instead of silently landing in the last split") {
     val df = Seq(Some(1L), Some(2L), None).toDF("id")
     val e = intercept[Exception] {

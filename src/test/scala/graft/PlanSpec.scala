@@ -175,6 +175,29 @@ class PlanSpec extends SparkSpec {
       s"pq_adc_score projection not codegen'd:\n$pAdc")
   }
 
+  test("snapshot diff: partial+final fingerprint aggregates, scans pruned to the hashed columns") {
+    val cur = table.filter(col("id") % 5 =!= 0)
+    val p = plan(graft.checkpoint.CheckpointedRunner.snapshotDiff(
+      cur, table, Seq("repo", "path"), 64))
+    assert(p.contains("partial_"), s"fingerprint aggregate must map-side combine:\n$p")
+    // the full-outer join of two 64-row histogram frames — never the tables
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("stratified sample is one codegen'd filter: no shuffle, no extra pass") {
+    val p = plan(graft.ops.Sharding.stratifiedSample(
+      table, "id", "lang", Map("scala" -> 0.5), 0.1))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
+      s"sample filter not codegen'd:\n$p")
+  }
+
+  test("skew profile: per-key counts partial-aggregate; top-K is TakeOrdered, not a global sort") {
+    val p = plan(Checks.keySkewProfile(table, Seq("repo"), 10, 32))
+    assert(p.contains("partial_"), s"count aggregate must map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K must not globally sort:\n$p")
+  }
+
   test("cost-budget packing windows partition by the full composite shard key") {
     import graft.ops.Sharding
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -83,6 +83,13 @@ object CheckpointedRunner {
     * buckets on the driver with a coalesce(1) write and two rescans per bucket
     * — 1024 sequential single-task jobs at 100 TB / 1024 buckets).
     *
+    * Completion model: ANY `done` manifest row marks a bucket complete,
+    * forever — correct for the one-snapshot resume workflow this implements.
+    * For inputs that evolve across snapshots use [[incrementalRun]]
+    * exclusively on a given manifest: mixing the two would let a bucket
+    * committed (even as empty) by an incremental run be skipped here although
+    * its content has since changed.
+    *
     * Shape: one partition-pruned scan of the pending buckets -> process ->
     * re-derive each output row's bucket from its key columns -> one
     * dynamic-overwrite write hash-clustered by bucket (each bucket lands

@@ -555,6 +555,15 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
 
+    // ---- similarity: batch k-NN join (every query at once; bounded-priority-queue partial aggregation) -------------------
+    "q_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnJoinCosine(
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("id"))
+    }),
+
     // ---- similarity: product-quantized ADC search (32x smaller codes; exact oracle via iters=0 codebooks) ----------------
     "q_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1081,6 +1090,21 @@ object SparkEntry {
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
              vec_id AS id
       FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+
+    // Batch k-NN: the oracle writes the cosine as the engine's exact formula
+    // (dot / (norm_c * norm_q)) and mirrors the (sim DESC, id DESC) rank
+    // direction the bounded-queue cut has.
+    "q_knn_join" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, e AS qe FROM ev WHERE vec_id % 100 = 0),
+      scored AS (SELECT qs.query_id, ev.vec_id AS id,
+                        list_dot_product(ev.e, qs.qe) /
+                          (sqrt(list_dot_product(ev.e, ev.e)) * sqrt(list_dot_product(qs.qe, qs.qe))) AS sim
+                 FROM ev CROSS JOIN qs)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id DESC) AS rn
+        FROM scored) WHERE rn <= 5""",
 
     // PQ recomputed verbatim: iters=0 codebooks are the unit-normalized 16
     // smallest-id vectors' subvectors; encode = per-subspace L2 argmin (ties

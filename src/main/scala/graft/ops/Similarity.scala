@@ -255,6 +255,39 @@ object Similarity {
         .limit(k))
   }
 
+  /** Batch k-NN join: top-k cosine neighbors in `corpus` for EVERY query row
+    * at once — the batch-inference/RAG-eval shape where per-query TakeOrdered
+    * calls would launch |Q| jobs. The query side broadcasts (it is the small
+    * side by contract); norms are aliased in their own projections so each is
+    * computed once per row, never once per pair-element; and the per-query
+    * top-k is a bounded-priority-queue aggregate (CollectTopK — the engine
+    * behind pandas-on-Spark nlargest) whose partials MERGE: each partition
+    * keeps at most k rows per query, so the one shuffle carries
+    * k x |Q| x partitions structs, never the |C| x |Q| score matrix.
+    * Ranking is (cosine desc, id desc) — the tie direction the bounded queue
+    * cut itself has, so the emitted rank order and the survivor set agree. */
+  def knnJoinCosine(
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      corpus: DataFrame, cIdCol: String, cEmbCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qIdCol).as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qe"))
+        .withColumn("__nq", norm(col("__qe"))))
+    val c = corpus.select(col(cIdCol).as("id"),
+      col(cEmbCol).cast("array<double>").as("__ce"))
+      .withColumn("__nc", norm(col("__ce")))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("id"),
+        (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graftbridge
+        .collectTopK(struct(col("cosine"), col("id")), k, reverse = false).as("__t"))
+      .select(col("query_id"),
+        posexplode(reverse(sort_array(col("__t")))).as(Seq("__p", "__s")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__s.id").as("id"), col("__s.cosine").as("cosine"))
+  }
+
   // ---------------------------------------------------------------------------
   // Int8 scalar quantization: 4x less storage and shuffle than float32 — at
   // 100 TB the embedding column IS the data volume, so this is the difference

@@ -16,4 +16,15 @@ package object graftbridge {
     * Test-support seam for cache-hygiene assertions. */
   def noCachedPlans(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Bounded top-k aggregate (Catalyst's CollectTopK, private[aggregate] —
+    * the engine behind pandas-on-Spark nlargest, reached via a same-package
+    * shim): each partition keeps at most k elements in a bounded priority
+    * queue and partials MERGE, so a grouped top-k shuffles k rows per
+    * (group, partition) instead of the whole group. `reverse = true` keeps
+    * the LARGEST k by the child's ordering (struct children order
+    * lexicographically by field). Result array is unsorted — sort_array it. */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    toColumn(catalyst.expressions.aggregate.GraftTopKShim.collectTopK(
+      toExpression(c), k, reverse))
 }

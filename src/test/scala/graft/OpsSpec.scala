@@ -299,6 +299,34 @@ class OpsSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("knn join: per-query top-k matches per-query TakeOrdered; partial top-k bounds the shuffle") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val out = Similarity.knnJoinCosine(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect()
+    val qIds = queries.select($"vec_id").as[Long].collect().sorted
+    assert(out.map(_._1).distinct.sorted.toSeq === qIds.toSeq)
+    assert(out.groupBy(_._1).values.forall(_.length === 5))
+    // every query's own vector ranks first (cosine 1 with itself)
+    qIds.foreach { q =>
+      assert(out.find(r => r._1 == q && r._2 == 1L).exists(_._3 == q), s"query $q")
+    }
+    // batch result set == single-query brute force, per query
+    qIds.take(2).foreach { qid =>
+      val qv = embs.filter($"vec_id" === qid).select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().head
+      val single = Similarity.topKCosine(embs, "vec_id", "embedding", qv, 5)
+        .select("id").as[Long].collect().toSet
+      assert(out.filter(_._1 == qid).map(_._3).toSet === single)
+    }
+    // plan: the per-query aggregation is a partial+final collect_top_k — the
+    // shuffle carries <= k structs per (query, partition), not |C| x |Q| rows
+    val p = Similarity.knnJoinCosine(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", 5).queryExecution.executedPlan.toString
+    assert(p.contains("partial_collect_top_k"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {
     // 40 byte-identical docs: every band bucket holds all 40 ids. A cap of 10
     // drops ALL of them — without the audit that would read as "no near-dups".

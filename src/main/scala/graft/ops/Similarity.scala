@@ -265,17 +265,22 @@ object Similarity {
     * keeps at most k rows per query, so the one shuffle carries
     * k x |Q| x partitions structs, never the |C| x |Q| score matrix.
     * Ranking is (cosine desc, id desc) — the tie direction the bounded queue
-    * cut itself has, so the emitted rank order and the survivor set agree. */
+    * cut itself has, so the emitted rank order and the survivor set agree.
+    * Zero vectors are excluded on BOTH sides (cosine 0/0 = NaN, and Spark
+    * orders NaN above every double — zero vectors would otherwise occupy the
+    * top-k; a zero-vector query gets no output rows). */
   def knnJoinCosine(
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       corpus: DataFrame, cIdCol: String, cEmbCol: String, k: Int): DataFrame = {
     val q = broadcast(
       queries.select(col(qIdCol).as("query_id"),
         col(qEmbCol).cast("array<double>").as("__qe"))
-        .withColumn("__nq", norm(col("__qe"))))
+        .withColumn("__nq", norm(col("__qe")))
+        .filter(col("__nq") =!= 0.0))
     val c = corpus.select(col(cIdCol).as("id"),
       col(cEmbCol).cast("array<double>").as("__ce"))
       .withColumn("__nc", norm(col("__ce")))
+      .filter(col("__nc") =!= 0.0)
     val scored = c.crossJoin(q)
       .select(col("query_id"), col("id"),
         (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))

@@ -325,6 +325,13 @@ class OpsSpec extends SparkSpec {
       embs, "vec_id", "embedding", 5).queryExecution.executedPlan.toString
     assert(p.contains("partial_collect_top_k"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // zero vectors excluded on both sides (NaN cosine would outrank everything)
+    val withZero = embs.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionAll(Seq((99999L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding"))
+    val z = Similarity.knnJoinCosine(withZero.filter($"vec_id" % 100 === 0 || $"vec_id" === 99999L),
+      "vec_id", "embedding", withZero, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    assert(!z.exists(r => r._1 == 99999L || r._2 == 99999L))
   }
 
   test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {

@@ -339,23 +339,38 @@ object Bench {
           col("content_sha256"))
         val snapshot1 = s.read.parquet(tableDir)
         CheckpointedRunner.stage(snapshot1, keys, buckets, staging, Some(incRowHash))
-        val fullSec = time {
-          CheckpointedRunner.incrementalRun(s, staging, manifest, outDir, buckets,
-            process, sortCols, runId = "bench-full", keyCols = keys)
-        }
-        // snapshot 2: touch the content of one bucket's rows (sha updated)
+        // min-of-reps on BOTH sides (never trust a single timing on this
+        // host — CLAUDE.md): each full rep resets manifest+out so everything
+        // is pending again; each delta rep re-stages bucket 0 with a fresh
+        // content marker so exactly that bucket is pending again (the
+        // re-stage itself is untimed — ingest, not validation).
+        val incReps = sys.env.getOrElse("SPARK_GRAFT_INC_REPS", "2").toInt
+        val fs = new org.apache.hadoop.fs.Path(incRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def reset(): Unit = Seq(manifest, outDir).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val fullSec = (1 to incReps).map { i =>
+          reset()
+          time {
+            CheckpointedRunner.incrementalRun(s, staging, manifest, outDir, buckets,
+              process, sortCols, runId = s"bench-full-$i", keyCols = keys)
+          }
+        }.min
         val bucketOf = CheckpointedRunner.bucketExpr(keys, buckets)
-        val snapshot2 = snapshot1
-          .withColumn("content",
-            when(bucketOf === 0, concat(col("content"), lit(" delta"))).otherwise(col("content")))
-          .withColumn("content_sha256", sha2(col("content"), 256))
-        CheckpointedRunner.stage(snapshot2, keys, buckets, staging, Some(incRowHash))
         var deltaBuckets = Seq.empty[Int]
-        val deltaSec = time {
-          deltaBuckets = CheckpointedRunner.incrementalRun(s, staging, manifest, outDir,
-            buckets, process, sortCols, runId = "bench-delta", keyCols = keys)
-        }
-        f"""{"buckets":$buckets,"full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
+        val deltaSec = (1 to incReps).map { i =>
+          val snap = snapshot1
+            .withColumn("content",
+              when(bucketOf === 0, concat(col("content"), lit(s" delta$i")))
+                .otherwise(col("content")))
+            .withColumn("content_sha256", sha2(col("content"), 256))
+          CheckpointedRunner.stage(snap, keys, buckets, staging, Some(incRowHash))
+          time {
+            deltaBuckets = CheckpointedRunner.incrementalRun(s, staging, manifest, outDir,
+              buckets, process, sortCols, runId = s"bench-delta-$i", keyCols = keys)
+          }
+        }.min
+        f"""{"buckets":$buckets,"reps":$incReps,"full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
           f""""delta_buckets":${deltaBuckets.size},"speedup":${fullSec / deltaSec}%.1f}"""
       } finally s.stop()
     }

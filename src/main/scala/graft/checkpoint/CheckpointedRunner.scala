@@ -156,6 +156,24 @@ object CheckpointedRunner {
         bucketOf.cast(StringType),
         lit(s" (pending: ${pending.mkString(",")}) — its output must retain the staged key columns"))))
     val out = process(in.drop("bucket")).withColumn("bucket", guardedBucket)
+    // Delete pending buckets' EXISTING output partitions before the write:
+    // dynamic overwrite only replaces partitions that receive rows, so a
+    // re-validated bucket whose new output is EMPTY (all violations fixed)
+    // would otherwise keep its stale rows forever — and the sink aggregate
+    // below would even count them into the manifest. Pre-delete is
+    // kill-idempotent: a pending bucket is by definition uncommitted or
+    // stale, and a kill after the delete leaves it pending for the resume.
+    locally {
+      val outRoot0 = new org.apache.hadoop.fs.Path(outDir)
+      val fs0 = outRoot0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs0.exists(outRoot0)) {
+        val pendingSet = pending.toSet
+        fs0.listStatus(outRoot0).iterator
+          .map(_.getPath).filter(_.getName.startsWith("bucket="))
+          .filter(p => pendingSet.contains(p.getName.stripPrefix("bucket=").toInt))
+          .foreach(fs0.delete(_, true))
+      }
+    }
     out
       .repartition(math.max(pending.size, 1), col("bucket"))
       .sortWithinPartitions((col("bucket") +: sortCols.map(col)): _*)
@@ -172,10 +190,17 @@ object CheckpointedRunner {
     val fpByBucket: Map[Int, java.lang.Long] =
       statsByBucket.fold(Map.empty[Int, java.lang.Long])(
         _.view.mapValues(v => java.lang.Long.valueOf(v._2)).toMap)
-    val violsByBucket = spark.read.parquet(outDir)
-      .filter(col("bucket").isin(pending: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val violsByBucket =
+      try spark.read.parquet(outDir)
+        .filter(col("bucket").isin(pending: _*))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      catch {
+        // a sink with no rows at all has no parquet footers to infer a
+        // schema from (every pending bucket validated clean and any stale
+        // partitions were pre-deleted) — that IS the zero-violations case
+        case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, Long]
+      }
     val wallMs = (System.nanoTime() - t0) / 1000000
     appendManifest(spark, manifestDir, pending.map { b =>
       org.apache.spark.sql.Row(b, runId, stagingDir,

@@ -166,9 +166,16 @@ object TrainingPipeline {
     // test would be leakage by construction). The mixed-row count is the one
     // accounting value that cannot ride another action: counting it costs
     // one extra cached-corpus pass, paid only when mixing is requested.
+    // The mixing salt is DERIVED from the split salt, never equal to it:
+    // both decisions hash md5(id || salt), so sharing the salt would make
+    // "survives a fractional weight w" identical to "unit hash < w" — and the
+    // split bounds partition that same unit hash, so every fractionally-kept
+    // row would land in the first split(s) and the later splits would see an
+    // effective weight of floor(w). A distinct suffix decorrelates them.
     val (mixed, nMixedRows) = mixStrataCol match {
       case Some(sc) =>
-        val m = Sharding.sampleByWeights(kept, idCol, sc, mixWeights, mixDefaultWeight, splitSalt)
+        val m = Sharding.sampleByWeights(kept, idCol, sc, mixWeights, mixDefaultWeight,
+          splitSalt + "#mix")
         (m, m.count())
       case None => (kept, nKept)
     }

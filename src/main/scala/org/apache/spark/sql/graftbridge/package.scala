@@ -21,8 +21,10 @@ package object graftbridge {
     * the engine behind pandas-on-Spark nlargest, reached via a same-package
     * shim): each partition keeps at most k elements in a bounded priority
     * queue and partials MERGE, so a grouped top-k shuffles k rows per
-    * (group, partition) instead of the whole group. `reverse = true` keeps
-    * the LARGEST k by the child's ordering (struct children order
+    * (group, partition) instead of the whole group. `reverse = false` keeps
+    * the LARGEST k by the child's ordering — the bounded queue evicts its
+    * minimum, retaining the top — and `reverse = true` keeps the SMALLEST k
+    * (probed empirically AND in the 4.1.2 bytecode; struct children order
     * lexicographically by field). Result array is unsorted — sort_array it. */
   def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
     toColumn(catalyst.expressions.aggregate.GraftTopKShim.collectTopK(

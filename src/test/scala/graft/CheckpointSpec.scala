@@ -166,6 +166,38 @@ class CheckpointSpec extends SparkSpec {
     assert(manifest.filter(col("bucket") === removedBucket && col("rows") === 0).count() === 1)
   }
 
+  test("re-validated bucket whose new output is EMPTY loses its stale violations") {
+    // dynamic partition overwrite only replaces partitions that receive rows;
+    // the runner must pre-delete pending buckets' old output partitions or a
+    // bucket whose violations were all fixed keeps them forever
+    val root = tmp()
+    val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"
+    val keys = Seq("repo", "path")
+    val sortCols = Seq("repo", "path")
+    val proc: DataFrame => DataFrame =
+      in => in.filter(col("lang") === "klingon").select("repo", "path", "lang")
+    val df = CodeTable.generate(spark, 2000) // id%89 rows carry lang=klingon
+    CheckpointedRunner.stage(df, keys, numBuckets, staging)
+    CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      proc, sortCols, runId = "e-a", keyCols = keys)
+    val before = spark.read.parquet(out).count()
+    assert(before > 0)
+    // snapshot 2: fix EVERY violation (no klingon rows anywhere)
+    val df2 = df.withColumn("lang",
+      when(col("lang") === "klingon", lit("python")).otherwise(col("lang")))
+    CheckpointedRunner.stage(df2, keys, numBuckets, staging)
+    val second = CheckpointedRunner.incrementalRun(spark, staging, m, out, numBuckets,
+      proc, sortCols, runId = "e-b", keyCols = keys)
+    assert(second.nonEmpty) // the klingon buckets' content changed
+    // stale violations gone: the incremental final state equals from-scratch
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining =
+      if (!fs.exists(p)) 0L
+      else try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    assert(remaining === 0L, s"stale violation rows remain: $remaining")
+  }
+
   test("fingerprint sidecar: stage-time stats drive selection; identical pending set; wiped on plain re-stage") {
     val root = tmp()
     val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"

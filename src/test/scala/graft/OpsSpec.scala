@@ -831,6 +831,17 @@ class OpsSpec extends SparkSpec {
       assert(bins.head === 0L && bins === (bins.head to bins.last))
     }
     res.unpersist()
+    // fractional-weight decorrelation: the mix decision must NOT reuse the
+    // split hash — with a shared salt every row kept at weight 0.5 has
+    // unit-hash < 0.5 and would land entirely in the first split
+    val res2 = TrainingPipeline.run(
+      docs.filter(!$"text".contains("dup")).select($"doc_id", $"text", $"source"),
+      "doc_id", "text",
+      mixStrataCol = Some("source"), mixWeights = Map.empty, mixDefaultWeight = 0.5,
+      splits = Seq("a" -> 0.5, "b" -> 0.5), splitSalt = "corr")
+    val splitsSeen = res2.corpus.select($"split").distinct().as[String].collect().toSet
+    assert(splitsSeen === Set("a", "b"), s"mixing correlated with split: $splitsSeen")
+    res2.unpersist()
   }
 
   test("hash split: null key raises instead of silently landing in the last split") {

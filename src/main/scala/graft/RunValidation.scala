@@ -1,0 +1,140 @@
+package graft
+
+import graft.checkpoint.CheckpointedRunner
+import graft.run.Validator
+import graft.suite.{Checks, CodeTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The spark-submit entry point the north_rule describes: stage a source-code
+  * table once, validate it through the checkpointed (resumable) runner, run
+  * the table-scope suite, and print one JSON summary line. Re-invoking after
+  * a kill resumes from the manifest; re-invoking after a new snapshot was
+  * staged (with `--incremental`) revalidates only changed buckets.
+  *
+  * {{{
+  * spark-submit --class graft.RunValidation graft.jar \
+  *   --input  /data/code_table      \   // parquet with (repo,path,commit,lang,content[,content_sha256])
+  *   --work   /data/graft_work      \   // staging + manifest + violations live here
+  *   [--buckets 1024]               \   // staged bucket count (default 256)
+  *   [--incremental]                \   // content-addressed selection (snapshot-evolving inputs)
+  *   [--restage]                    \   // (re-)stage the input before validating
+  *   [--dim /data/repo_commits]     \   // optional referential dim (repo, commit)
+  *   [--profile repo,lang,content]  \   // optional profiling columns
+  *   [--unique repo,path,commit]        // optional uniqueness key
+  * }}}
+  *
+  * Scale shape: staging is one partitioned write (+ a narrow fingerprint
+  * sidecar when --incremental, so later runs select changed buckets from
+  * per-bucket stats, never a table scan); validation is the one-write-job
+  * bucket runner; suite checks are single-pass aggregates / anti-joins.
+  */
+object RunValidation {
+
+  final case class Args(
+      input: String = "", work: String = "", buckets: Int = 256,
+      incremental: Boolean = false, restage: Boolean = false,
+      dim: Option[String] = None,
+      profileCols: Seq[String] = Nil, uniqueKeys: Seq[String] = Nil)
+
+  def parse(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case "--input" :: v :: t => loop(a.copy(input = v), t)
+      case "--work" :: v :: t => loop(a.copy(work = v), t)
+      case "--buckets" :: v :: t => loop(a.copy(buckets = v.toInt), t)
+      case "--incremental" :: t => loop(a.copy(incremental = true), t)
+      case "--restage" :: t => loop(a.copy(restage = true), t)
+      case "--dim" :: v :: t => loop(a.copy(dim = Some(v)), t)
+      case "--profile" :: v :: t => loop(a.copy(profileCols = v.split(",").toSeq), t)
+      case "--unique" :: v :: t => loop(a.copy(uniqueKeys = v.split(",").toSeq), t)
+      case Nil => a
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val a = loop(Args(), argv.toList)
+    require(a.input.nonEmpty, "--input is required")
+    require(a.work.nonEmpty, "--work is required")
+    a
+  }
+
+  private val keys = Seq("repo", "path")
+  private val sortCols = Seq("repo", "path", "constraint_id")
+
+  /** Library-callable core (main() wraps it with a session). Returns the
+    * summary JSON it also prints. */
+  def run(spark: SparkSession, a: Args): String = {
+    val staging = s"${a.work}/staging"
+    val manifest = s"${a.work}/manifest"
+    val outDir = s"${a.work}/violations"
+
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (a.restage || !fs.exists(stagingPath)) {
+      val in = spark.read.parquet(a.input)
+      val withSha =
+        if (in.columns.contains("content_sha256")) in
+        else in.withColumn("content_sha256", sha2(col("content"), 256))
+      // fingerprint rides the digest column, not raw content — the narrow
+      // sidecar scan is the point of staging-time fingerprints. Contract: a
+      // SUPPLIED content_sha256 must track content (it is both the parity
+      // fixture and the change signal); a stale digest hides the change from
+      // incremental selection exactly as it would from the parity check
+      val rowHash =
+        if (a.incremental)
+          Some(xxhash64((keys ++ Seq("commit", "lang", "content_sha256")).map(col): _*))
+        else None
+      CheckpointedRunner.stage(withSha, keys, a.buckets, staging, rowHash)
+    }
+
+    def process(in: DataFrame): DataFrame =
+      Validator.validate(CodeTable.codeSchema,
+        in.withColumn("sha_fixture", col("content_sha256"))).violations
+
+    val runId = s"run-${java.util.UUID.randomUUID().toString.take(8)}"
+    val processed =
+      if (a.incremental)
+        CheckpointedRunner.incrementalRun(spark, staging, manifest, outDir,
+          a.buckets, process, sortCols, runId, keys)
+      else
+        CheckpointedRunner.run(spark, staging, manifest, outDir,
+          a.buckets, process, sortCols, runId, keys)
+
+    val staged = spark.read.parquet(staging)
+    val extras = scala.collection.mutable.ListBuffer.empty[String]
+    if (a.profileCols.nonEmpty) {
+      val prof = Checks.profile(staged, a.profileCols).collect()
+        .map(r => s""""${r.getString(0)}":{"rows":${r.getLong(1)},"nulls":${r.getLong(2)},"distinct":${r.getLong(3)}}""")
+      extras += s""""profile":{${prof.mkString(",")}}"""
+    }
+    if (a.uniqueKeys.nonEmpty)
+      extras += s""""duplicate_keys":${Checks.uniqueness(staged, a.uniqueKeys).count()}"""
+    a.dim.foreach { d =>
+      val dangling = Checks.referentialViolations(
+        staged, Seq("commit"), spark.read.parquet(d), Seq("commit"),
+        broadcastDim = true, keyCols = keys).count()
+      extras += s""""dangling_refs":$dangling"""
+    }
+
+    val manifestDf = spark.read.schema(CheckpointedRunner.manifestSchema).parquet(manifest)
+    val done = manifestDf.filter(col("status") === "done")
+      .select("bucket").distinct().count()
+    val viols = try spark.read.parquet(outDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val json =
+      s"""{"run_id":"$runId","processed_buckets":${processed.size},""" +
+        s""""done_buckets":$done,"total_buckets":${a.buckets},""" +
+        s""""violations":$viols,"incremental":${a.incremental}""" +
+        (if (extras.nonEmpty) extras.mkString(",", ",", "") else "") + "}"
+    println(json)
+    json
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val spark = SparkSession.builder()
+      .appName("graft-validation")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .getOrCreate()
+    try run(spark, a) finally spark.stop()
+  }
+}

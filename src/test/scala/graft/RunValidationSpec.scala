@@ -1,0 +1,51 @@
+package graft
+
+import graft.suite.CodeTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The spark-submit entry point, driven end-to-end: stage + validate +
+  * suite checks + resumable re-invocation, all through the CLI surface.
+  */
+class RunValidationSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-cli").toString
+
+  test("CLI: stage + validate + suite extras; second invocation is a no-op; incremental picks up a new snapshot") {
+    val root = tmp()
+    val input = s"$root/input"; val work = s"$root/work"; val dim = s"$root/dim"
+    val df = CodeTable.generate(spark, 3000)
+    df.write.mode("overwrite").parquet(input)
+    CodeTable.dimRepoCommits(df).write.mode("overwrite").parquet(dim)
+
+    val a = RunValidation.parse(Array(
+      "--input", input, "--work", work, "--buckets", "8", "--incremental",
+      "--dim", dim, "--profile", "repo,lang", "--unique", "repo,path,commit"))
+    val j1 = RunValidation.run(spark, a)
+    assert(j1.contains(""""processed_buckets":8"""), j1)
+    assert(j1.contains(""""done_buckets":8"""), j1)
+    assert(j1.contains(""""profile":{"repo":"""), j1)
+    assert(j1.contains(""""dangling_refs":"""), j1)
+    val viols1 = j1.split("\"violations\":")(1).split(",")(0).toLong
+    assert(viols1 > 0) // CodeTable plants violations
+
+    // same staged content: content-addressed completion => nothing to do
+    val j2 = RunValidation.run(spark, a)
+    assert(j2.contains(""""processed_buckets":0"""), j2)
+
+    // new snapshot: restage with one repo's content touched => only its
+    // buckets revalidate
+    df.withColumn("content",
+        when(col("repo") === "org0/mega", concat(col("content"), lit(" v2")))
+          .otherwise(col("content")))
+      .withColumn("content_sha256", sha2(col("content"), 256)) // digest must track content
+      .write.mode("overwrite").parquet(input)
+    val j3 = RunValidation.run(spark, a.copy(restage = true))
+    val processed3 = j3.split("\"processed_buckets\":")(1).split(",")(0).toInt
+    assert(processed3 > 0 && processed3 <= 8, j3)
+
+    // bad argument fails loudly
+    intercept[IllegalArgumentException] { RunValidation.parse(Array("--nope")) }
+    intercept[IllegalArgumentException] { RunValidation.parse(Array("--input", input)) }
+  }
+}

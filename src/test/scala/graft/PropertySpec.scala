@@ -300,4 +300,31 @@ class PropertySpec extends SparkSpec {
         keyColumns = Seq("id"), packs = packs, except = Some(Seq("div")))
     }
   }
+
+  test("sampling invariants: nested thresholds, eager parameter validation") {
+    import graft.ops.Sharding
+    val df = spark.range(2000).select($"id", lit("s").as("g"))
+    // threshold sampling is NESTED: the f1-sample is a subset of the
+    // f2-sample whenever f1 <= f2 (same key, same salt) — growing a sampling
+    // budget only ADDS documents, it never swaps any
+    def ids(f: Double) = Sharding.stratifiedSample(df, "id", "g", Map.empty, f, "n")
+      .select("id").as[Long].collect().toSet
+    val (s25, s50, s75) = (ids(0.25), ids(0.5), ids(0.75))
+    assert(s25.subsetOf(s50) && s50.subsetOf(s75))
+    assert(s25.nonEmpty && s75.size < 2000)
+    // out-of-range parameters fail at CALL time, not mid-job
+    intercept[IllegalArgumentException] {
+      Sharding.stratifiedSample(df, "id", "g", Map("s" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.stratifiedSample(df, "id", "g", Map.empty, defaultFraction = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.sampleByWeights(df, "id", "g", Map("s" -> -2.0))
+    }
+    // expected-rate sanity for fractional weights: E[rows] = n * w
+    val n = Sharding.sampleByWeights(df, "id", "g", Map.empty, defaultWeight = 1.5, salt = "n")
+      .count()
+    assert(n > 2000 * 1.35 && n < 2000 * 1.65, s"rows $n for weight 1.5")
+  }
 }

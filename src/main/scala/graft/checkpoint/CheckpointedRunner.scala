@@ -70,6 +70,24 @@ object CheckpointedRunner {
   /** Hidden sidecar directory name (underscore => invisible to data reads). */
   val FingerprintSidecar: String = "_fingerprints"
 
+  /** Per-run lineage + metrics view over the append-only manifest: one row
+    * per run_id with buckets completed, input rows, violations, and the run's
+    * wall time (wall_ms is per-JOB, shared by a run's rows — max, not sum).
+    * The operational answer to "what did each invocation do": a driver-side
+    * aggregate over the tiny manifest, ordered newest-wall-cost last only by
+    * run_id string — timestamps are deliberately not part of the manifest
+    * (byte-stable resume). */
+  def runHistory(spark: SparkSession, manifestDir: String): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestDir)
+      .groupBy("run_id")
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum(col("rows")).as("input_rows"),
+        sum(col("violations")).as("violations"),
+        max(col("wall_ms")).as("wall_ms"),
+        min(col("input_path")).as("input_path"))
+      .orderBy("run_id")
+
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(manifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

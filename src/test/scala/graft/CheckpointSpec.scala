@@ -231,6 +231,23 @@ class CheckpointSpec extends SparkSpec {
     assert(!new java.io.File(s"$staging/${CheckpointedRunner.FingerprintSidecar}").exists())
   }
 
+  test("run history: one lineage+metrics row per invocation over the append-only manifest") {
+    val root = tmp()
+    val staging = s"$root/staging"; val out = s"$root/out"; val m = s"$root/m"
+    CheckpointedRunner.stage(CodeTable.generate(spark, 1500), Seq("repo", "path"), numBuckets, staging)
+    CheckpointedRunner.run(spark, staging, m, out, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "h-1",
+      keyCols = Seq("repo", "path"), maxBuckets = 3)
+    CheckpointedRunner.run(spark, staging, m, out, numBuckets,
+      process, Seq("repo", "path", "constraint_id"), runId = "h-2",
+      keyCols = Seq("repo", "path"))
+    val h = CheckpointedRunner.runHistory(spark, m)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h.keySet === Set("h-1", "h-2"))
+    assert(h("h-1")._1 === 3L && h("h-2")._1 === (numBuckets - 3).toLong)
+    assert(h.values.map(_._2).sum === spark.read.parquet(staging).count())
+  }
+
   test("snapshot diff: added/removed/changed buckets; unchanged buckets emit no row") {
     val prev = CodeTable.generate(spark, 800)
     val bucketOf = CheckpointedRunner.bucketExpr(Seq("repo", "path"), numBuckets)

@@ -242,6 +242,42 @@ object Similarity {
       nearestCentroid(col(embCol), centroids).as("cell"),
       graft.functions.PqEncode(col(embCol), codebooks).as("codes"))
 
+  /** Build + persist the IVF-PQ index: cell-partitioned codes (queries
+    * partition-prune to their nprobe cells AND read 8-byte codes instead of
+    * vectors — the two compressions compose on disk too), coarse centroids
+    * as JSON (same layout [[ivfLoadCentroids]] reads), and the PQ codebooks
+    * as a tiny (m x kSub)-row parquet. Train once, query forever. */
+  def ivfPqBuildIndex(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String,
+      numCells: Int = 16, m: Int = 8, kSub: Int = 16, iters: Int = 3,
+      sampleSize: Int = 4096): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize)
+    val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize)
+    ivfPqEncode(df, idCol, embCol, centroids, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Seq(json).toDF("centroids").coalesce(1)
+      .write.mode("overwrite").json(s"$indexDir/centroids")
+    codebooks.zipWithIndex.flatMap { case (cents, mi) =>
+      cents.zipWithIndex.map { case (c, j) => (mi, j, c) }
+    }.toDF("mi", "j", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    (centroids, codebooks)
+  }
+
+  /** Load both quantizers back from an [[ivfPqBuildIndex]] directory. */
+  def ivfPqLoadIndex(
+      spark: SparkSession, indexDir: String): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val centroids = ivfLoadCentroids(spark, indexDir)
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    (centroids, codebooks)
+  }
+
   /** Top-k over an [[ivfPqEncode]]d corpus: cell-prune, then ADC. */
   def ivfPqTopKCosine(
       encoded: DataFrame, centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],

@@ -296,6 +296,18 @@ class OpsSpec extends SparkSpec {
     val pruned = Similarity.ivfPqTopKCosine(ivfpq, cents, books, q, 10, nprobe = 4)
       .select("id").as[Long].collect()
     assert(pruned.take(3).contains(7L))
+    // persisted index round-trip: loaded quantizers reproduce the in-memory
+    // result, and the cell scan partition-prunes to the probed cells
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val (cents2, books2) = Similarity.ivfPqBuildIndex(embs, "vec_id", "embedding", idxDir)
+    assert(cents2 === cents && books2 === books) // same deterministic training
+    val (centsL, booksL) = Similarity.ivfPqLoadIndex(spark, idxDir)
+    assert(centsL === cents && booksL === books)
+    val fromDisk = Similarity.ivfPqTopKCosine(
+      spark.read.parquet(s"$idxDir/cells"), centsL, booksL, q, 10, nprobe = 4)
+    assert(fromDisk.select("id").as[Long].collect().toSeq === pruned.toSeq)
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan) // pruned scan, 8-byte codes
     enc.unpersist()
   }
 

@@ -52,7 +52,7 @@ object StreamingDrift {
         .toSeq.sortBy(_._1._1.getTime)
         .map { case ((ws, we), hs) =>
           val hist = hs.map(r =>
-            Option(r.getString(2)).getOrElse(" null") -> r.getLong(3)).toMap
+            Option(r.getString(2)).getOrElse(Checks.NullCategoryKey) -> r.getLong(3)).toMap
           val psi = Checks.psi(baseline, hist)
           Row(ws, we, psi, psi > psiThreshold, hist.values.sum)
         }

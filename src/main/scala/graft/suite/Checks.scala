@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   */
 object Checks {
 
+  /** Histogram key for null category values, shared by batch [[driftCheck]]
+    * and [[graft.streaming.StreamingDrift]] so a baseline built by one scores
+    * correctly in the other. The NUL (U+0000) prefix cannot collide with any real
+    * string value Spark surfaces (NUL never survives a cast-to-string of a
+    * non-string, and a genuine NUL-prefixed string would hash to itself).
+    */
+  val NullCategoryKey: String = "\u0000null"
+
   // --------------------------------------------------------------------------
   // N4: column-stats profiling — ONE aggregation pass over the table computes
   // count / null-rate / approx-distinct (HyperLogLog++) / min / max for every
@@ -188,7 +196,7 @@ object Checks {
       psiThreshold: Double = 0.2, ksThreshold: Double = 0.1): DriftReport = {
     def cat(df: DataFrame): Map[String, Long] =
       categoricalHistogram(df, col(categoricalCol)).collect()
-        .map(r => Option(r.get(0)).map(_.toString).getOrElse(" null") -> r.getLong(1)).toMap
+        .map(r => Option(r.get(0)).map(_.toString).getOrElse(NullCategoryKey) -> r.getLong(1)).toMap
     def cont(df: DataFrame): Map[Long, Long] =
       bucketHistogram(df, continuousCol, minV, maxV, buckets).collect()
         .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap

@@ -156,6 +156,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift: null categories share the batch sentinel — identical null mix scores PSI ~0") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    // baseline with nulls keyed the way the BATCH driftCheck keys them
+    val baseline = Map("en" -> 2L, graft.suite.Checks.NullCategoryKey -> 2L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    val q = graft.streaming.StreamingDrift.driftStream(
+      input.toDF().toDF("ts", "lang"), "ts", "lang", baseline,
+      windowDuration = "10 seconds", watermarkDelay = "5 seconds",
+      psiThreshold = 0.2) { (report, _) =>
+      got ++= report.collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    }.start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      input.addData(Seq(ts(2L) -> "en", ts(3L) -> null, ts(4L) -> "en", ts(5L) -> null): _*)
+      q.processAllAvailable()
+      input.addData(ts(40L) -> "en")
+      q.processAllAvailable()
+      assert(got.size === 1, got.toString)
+      val (psi, drifted) = got.head
+      // before the shared sentinel this scored one vanished + one new category
+      assert(psi < 1e-9 && !drifted, s"psi=$psi")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

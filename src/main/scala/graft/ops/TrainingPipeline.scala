@@ -2,8 +2,9 @@ package graft.ops
 
 import graft.dsl.SchemaSpec
 import graft.run.Validator
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Per-stage row accounting for one [[TrainingPipeline.run]] (docs removed BY
   * that stage; every stage sees the previous stage's survivors).
@@ -24,10 +25,20 @@ case class PipelineReport(
   def removed: Long = invalid + exactDups + nearDups + contaminated + lowQuality
 }
 
+/** One pipeline stage's completion record: whether its state was computed
+  * this invocation or loaded from the work dir's committed checkpoint, plus
+  * the counts it contributed to the [[PipelineReport]]. Surfaced on
+  * [[PipelineResult.stages]] so callers (and the resume tests) can see
+  * exactly which stages a resumed run re-executed. */
+case class StageRecord(name: String, loaded: Boolean, counts: Map[String, Long])
+
 /** `corpus` reads from the one cached frame [[run]] created; call
-  * [[unpersist]] once the caller's action on `corpus` (write/collect) is done. */
+  * [[unpersist]] once the caller's action on `corpus` (write/collect) is done.
+  * `stages` is the per-stage manifest — empty for the uncheckpointed [[run]],
+  * one record per stage for [[TrainingPipeline.runResumable]]. */
 case class PipelineResult(corpus: DataFrame, report: PipelineReport,
-    private[ops] val cached: Seq[DataFrame] = Nil) {
+    private[ops] val cached: Seq[DataFrame] = Nil,
+    stages: Seq[StageRecord] = Nil) {
   /** Releases the pipeline's cached frames (the deduped corpus + the small
     * flagged-id / probe-hash sets). After this, actions on `corpus` recompute
     * the full lineage. */
@@ -151,13 +162,7 @@ object TrainingPipeline {
       case None => (near, 0L, Nil)
     }
 
-    // integer-threshold quality gate: composite score floor + Gopher-style
-    // top-word dominance cap (top_word_count * 100 <= pct * n_tokens)
-    val q = TextOps.qualitySignals(col(textCol))
-    val r = TextOps.repetitionSignals(col(textCol))
-    val kept = decon.filter(
-      q.getField("quality_score") >= minQualityScore &&
-        r.getField("top_word_count") * 100 <= r.getField("n_tokens") * maxTopWordPct)
+    val kept = qualityFilter(decon, textCol, minQualityScore, maxTopWordPct)
     val nKept = kept.count() // one cached-corpus pass + the small anti-joins
 
     // optional per-stratum corpus mixing (fractional repetition weights):
@@ -180,29 +185,8 @@ object TrainingPipeline {
       case None => (kept, nKept)
     }
 
-    val split = Sharding.hashSplit(mixed, idCol, splits, splitSalt)
-    val corpus = packBudget match {
-      case Some(b) =>
-        // fine-grained composite shard key: a bare `split` (1-3 values) would
-        // sort each split's ENTIRE corpus in one window partition; (split,
-        // md5-shard) keeps every partition 1/packShards of a split, and the
-        // pair is the packed output's natural write partitioning.
-        // With mixing on, id repeats across copies — the packing order key
-        // must stay unique per shard, so (id, copy) composes into __ord;
-        // without mixing the id keeps its own (typed) ordering as before.
-        val (ordered, orderCol) = mixStrataCol match {
-          case Some(_) => (split.withColumn("__ord",
-            concat(col(idCol).cast("string"), lit("#"), col("copy"))), "__ord")
-          case None => (split, idCol)
-        }
-        Sharding.packByCostBudget(
-          ordered
-            .withColumn("shard", Sharding.shardColumn(col(idCol), packShards, splitSalt))
-            .withColumn("__cost", TextOps.tokenCountBpeIsh(col(textCol)).cast("long")),
-          Seq("split", "shard"), orderCol, "__cost", b)
-          .drop("__cost", "__ord")
-      case None => split
-    }
+    val corpus = splitAndPack(mixed, idCol, textCol, mixing = mixStrataCol.isDefined,
+      splits, splitSalt, packBudget, packShards)
 
     PipelineResult(corpus, PipelineReport(
       input = nInput,
@@ -216,6 +200,242 @@ object TrainingPipeline {
       nearDupDroppedIds = nDropIds,
       mixedRows = nMixedRows),
       cached = exact +: deconCached)
+  }
+
+  // ---- shared stage bodies (run + runResumable) ----------------------------
+
+  /** Integer-threshold quality gate: composite score floor + Gopher-style
+    * top-word dominance cap (top_word_count * 100 <= pct * n_tokens). */
+  private def qualityFilter(df: DataFrame, textCol: String,
+      minQualityScore: Long, maxTopWordPct: Int): DataFrame = {
+    val q = TextOps.qualitySignals(col(textCol))
+    val r = TextOps.repetitionSignals(col(textCol))
+    df.filter(
+      q.getField("quality_score") >= minQualityScore &&
+        r.getField("top_word_count") * 100 <= r.getField("n_tokens") * maxTopWordPct)
+  }
+
+  /** md5 hash split + optional cost-budget packing.
+    * Fine-grained composite shard key: a bare `split` (1-3 values) would sort
+    * each split's ENTIRE corpus in one window partition; (split, md5-shard)
+    * keeps every partition 1/packShards of a split, and the pair is the packed
+    * output's natural write partitioning. With mixing on, id repeats across
+    * copies — the packing order key must stay unique per shard, so (id, copy)
+    * composes into __ord; without mixing the id keeps its own (typed)
+    * ordering as before. */
+  private def splitAndPack(mixed: DataFrame, idCol: String, textCol: String,
+      mixing: Boolean, splits: Seq[(String, Double)], splitSalt: String,
+      packBudget: Option[Long], packShards: Int): DataFrame = {
+    val split = Sharding.hashSplit(mixed, idCol, splits, splitSalt)
+    packBudget match {
+      case Some(b) =>
+        val (ordered, orderCol) =
+          if (mixing) (split.withColumn("__ord",
+            concat(col(idCol).cast("string"), lit("#"), col("copy"))), "__ord")
+          else (split, idCol)
+        Sharding.packByCostBudget(
+          ordered
+            .withColumn("shard", Sharding.shardColumn(col(idCol), packShards, splitSalt))
+            .withColumn("__cost", TextOps.tokenCountBpeIsh(col(textCol)).cast("long")),
+          Seq("split", "shard"), orderCol, "__cost", b)
+          .drop("__cost", "__ord")
+      case None => split
+    }
+  }
+
+  // ---- resumable variant ----------------------------------------------------
+
+  /** [[run]] with pipeline-level resume — the north_rule's checkpoint mandate
+    * lifted from the validation entry point to the whole pipeline. Stage state
+    * lives under `workDir`, committed through [[graft.checkpoint.StageStore]]:
+    *
+    *   - `prepare`  — normalize+PII (+optional line scrub) + validate + exact
+    *     dedup, CHECKPOINTED as the corpus parquet every later stage reads.
+    *     This replaces run()'s in-memory persist: a resume cannot
+    *     re-materialize a cache, and at 100 TB the cleaned deduped corpus is
+    *     written once either way.
+    *   - `neardup`  — MinHash/LSH + connected components; persists the SMALL
+    *     loser-id set (the discovery job is the expensive part; the anti-join
+    *     that applies it is cheap reapplication).
+    *   - `decontam` — n-gram collisions vs the probe; persists the flagged-id
+    *     set (skipped entirely when no probe is given).
+    *   - `quality`  — counts-only (the gate is a cheap reapplied filter).
+    *   - `mix`      — counts-only (deterministic hash sampling, reapplied).
+    *
+    * Stage keys CHAIN: each embeds its predecessor's key plus its own
+    * parameters, rooted at a content fingerprint of the input (and of the
+    * probe, for decontam). A changed input, probe, or parameter therefore
+    * recomputes exactly the affected suffix of the pipeline; an unchanged
+    * prefix loads without touching its files (byte-identical state on disk).
+    * A kill mid-stage leaves that stage uncommitted (meta is written strictly
+    * after data): the resume re-runs it and everything after, never anything
+    * before. The returned corpus is assembled by deterministic reapplication
+    * (corpus checkpoint -> loser anti-joins -> quality filter -> mix -> split
+    * -> pack), so a resumed run's corpus and report are identical to an
+    * uninterrupted one's.
+    *
+    * `schema` is the one input whose content can't be fingerprinted (Scala
+    * closures); encode schema changes in `paramsKey` or use a fresh workDir —
+    * the same contract CheckpointedRunner documents for its `process`.
+    *
+    * @param paramsKey       caller-owned version string folded into every
+    *                        stage key (bump when `schema` changes)
+    * @param checkpointShards hash-shard count for the corpus checkpoint and
+    *                        loser-set writes (deterministic layout)
+    * @param onStageComputed invoked after a stage computes AND commits (not on
+    *                        load) — a progress hook; throwing from it aborts
+    *                        the run at a committed stage boundary, which is
+    *                        exactly the kill the resume test simulates
+    */
+  def runResumable(
+      docs: DataFrame, idCol: String, textCol: String, workDir: String,
+      schema: Option[SchemaSpec] = None,
+      probe: Option[(DataFrame, String, String)] = None,
+      maxLineFreq: Option[Long] = None,
+      shingleN: Int = 3, minhashThreshold: Double = 0.9,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      decontamN: Int = 13, decontamMinHits: Long = 1L,
+      minQualityScore: Long = 0L, maxTopWordPct: Int = 100,
+      mixStrataCol: Option[String] = None,
+      mixWeights: Map[String, Double] = Map.empty, mixDefaultWeight: Double = 1.0,
+      splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
+      packBudget: Option[Long] = None, packShards: Int = 64,
+      paramsKey: String = "", checkpointShards: Int = 64,
+      onStageComputed: String => Unit = _ => ()): PipelineResult = {
+    import graft.checkpoint.StageStore
+    val spark = docs.sparkSession
+    val records = Seq.newBuilder[StageRecord]
+
+    /** Order-independent content address: (row count, bit_xor of row hashes).
+      * ONE column-pruned scan — the Iceberg seam: a catalog that maintains
+      * content digests in metadata supplies this without any scan. */
+    def contentFp(df: DataFrame, id: String, text: String): String = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    def committedData(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    /** Load-or-compute one stage. `dataDir` (when the stage persists data)
+      * must ALSO be committed for a load — meta without data means recompute. */
+    def stage(name: String, key: String, dataDir: Option[String] = None)(
+        compute: => Map[String, Long]): Map[String, Long] =
+      StageStore.load(spark, workDir, name, key)
+        .filter(_ => dataDir.forall(committedData)) match {
+        case Some(c) => records += StageRecord(name, loaded = true, c); c
+        case None =>
+          val c = compute
+          StageStore.commit(spark, workDir, name, key, c)
+          records += StageRecord(name, loaded = false, c)
+          onStageComputed(name)
+          c
+      }
+
+    val inFp = contentFp(docs, idCol, textCol)
+
+    val corpusDir = StageStore.dataDir(workDir, "corpus")
+    val prepareKey =
+      s"v1|in=$inFp|lineFreq=$maxLineFreq|schema=${schema.isDefined}|user=$paramsKey"
+    val prep = stage("prepare", prepareKey, Some(corpusDir)) {
+      val cleaned0 = docs.withColumn(textCol,
+        TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol))))
+      val cleaned = maxLineFreq match {
+        case Some(f) => Dedup.scrubCommonLines(cleaned0.persist(), idCol, textCol, f)
+        case None    => cleaned0
+      }
+      val intake = Observation(s"graft_pipeline_intake_${seq.incrementAndGet()}")
+      val annotated = schema match {
+        case Some(spec) => Validator.validate(spec, cleaned).annotated
+        case None       => cleaned.withColumn("valid", lit(true))
+      }
+      val observed = annotated
+        .observe(intake, count(lit(1)).as("n_input"),
+          coalesce(sum(when(col("valid"), 1L).otherwise(0L)), lit(0L)).as("n_valid"))
+        .filter(col("valid"))
+      val valid = schema match {
+        case Some(_) => observed.drop("violations", "valid")
+        case None    => observed.drop("valid")
+      }
+      // the checkpoint write IS the observation's materializing action;
+      // hash-sharded + sorted layout => the same bytes on every recompute
+      Dedup.exactDedup(valid, idCol, textCol)
+        .repartition(checkpointShards, col(idCol))
+        .sortWithinPartitions(idCol)
+        .write.mode(SaveMode.Overwrite).parquet(corpusDir)
+      val (nInput, nValid) = intakeCounts(intake, annotated)
+      if (maxLineFreq.isDefined) cleaned0.unpersist()
+      val nExact = spark.read.parquet(corpusDir).count() // footer-stat count
+      Map("n_input" -> nInput, "n_valid" -> nValid, "n_exact" -> nExact)
+    }
+    val corpus = spark.read.parquet(corpusDir)
+    val idType = corpus.schema(idCol).dataType
+    def idSet(dir: String): DataFrame = // explicit schema: the set may be EMPTY
+      spark.read.schema(StructType(Seq(StructField(idCol, idType)))).parquet(dir)
+
+    val nearDir = StageStore.dataDir(workDir, "near_losers")
+    val nearKey = s"$prepareKey|shingleN=$shingleN|thr=$minhashThreshold|maxBucket=$maxBucket"
+    val nearC = stage("neardup", nearKey, Some(nearDir)) {
+      val audited = Dedup.minhashNearDupsAudited(
+        corpus, idCol, textCol, shingleN = shingleN, threshold = minhashThreshold,
+        maxBucket = maxBucket)
+      Components.nearDupGroups(audited.pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+        .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
+        .write.mode(SaveMode.Overwrite).parquet(nearDir)
+      Map("n_near" -> idSet(nearDir).count(),
+        "drop_buckets" -> audited.droppedBuckets, "drop_ids" -> audited.droppedIds)
+    }
+    val near = corpus.join(idSet(nearDir), Seq(idCol), "left_anti")
+
+    val contamDir = StageStore.dataDir(workDir, "contaminated_ids")
+    val (decontamKey, deconAndCount) = probe match {
+      case Some((p, pid, ptext)) =>
+        val key = s"$nearKey|probe=${contentFp(p, pid, ptext)}|n=$decontamN|minHits=$decontamMinHits"
+        val c = stage("decontam", key, Some(contamDir)) {
+          val probeHashed = Decontaminate.probeHashes(p, pid, ptext, decontamN)
+          Decontaminate
+            .ngramCollisionsAgainst(near, idCol, textCol, probeHashed, decontamN, decontamMinHits)
+            .select(col("id").as(idCol)).distinct()
+            .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
+            .write.mode(SaveMode.Overwrite).parquet(contamDir)
+          Map("n_contam" -> idSet(contamDir).count())
+        }
+        (key, (near.join(idSet(contamDir), Seq(idCol), "left_anti"), c("n_contam")))
+      case None => (s"$nearKey|probe=none", (near, 0L))
+    }
+    val (decon, nContam) = deconAndCount
+
+    val qualityKey = s"$decontamKey|minQ=$minQualityScore|maxTop=$maxTopWordPct"
+    val kept = qualityFilter(decon, textCol, minQualityScore, maxTopWordPct)
+    val nKept = stage("quality", qualityKey)(Map("n_kept" -> kept.count()))("n_kept")
+
+    val (mixed, nMixedRows) = mixStrataCol match {
+      case Some(sc) =>
+        val wStr = mixWeights.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        val mixKey = s"$qualityKey|strata=$sc|w=$wStr|dw=$mixDefaultWeight|salt=$splitSalt"
+        val m = Sharding.sampleByWeights(kept, idCol, sc, mixWeights, mixDefaultWeight,
+          splitSalt + "#mix")
+        (m, stage("mix", mixKey)(Map("n_mixed" -> m.count()))("n_mixed"))
+      case None => (kept, nKept)
+    }
+
+    val out = splitAndPack(mixed, idCol, textCol, mixing = mixStrataCol.isDefined,
+      splits, splitSalt, packBudget, packShards)
+
+    PipelineResult(out, PipelineReport(
+      input = prep("n_input"),
+      invalid = prep("n_input") - prep("n_valid"),
+      exactDups = prep("n_valid") - prep("n_exact"),
+      nearDups = nearC("n_near"),
+      contaminated = nContam,
+      lowQuality = prep("n_exact") - nearC("n_near") - nContam - nKept,
+      output = nKept,
+      nearDupDroppedBuckets = nearC("drop_buckets"),
+      nearDupDroppedIds = nearC("drop_ids"),
+      mixedRows = nMixedRows),
+      stages = records.result())
   }
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()

@@ -550,7 +550,8 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 7)
         .select(col("embedding").cast("array<double>")).collect()
         .head.getSeq[Double](0)
-      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0, sampleSize = 16)
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0,
+        sampleSize = 16, sampleByHash = false) // raw-id sample: the oracle rebuilds "the 16 smallest ids"
       Similarity.ivfTopKCosine(e, "vec_id", "embedding", centroids, q, 10, nprobe = 6)
         .select(col("rank").cast("long").as("rank"), col("id"))
     }),
@@ -564,6 +565,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("id"))
     }),
 
+    // ---- similarity: IVF-accelerated batch k-NN join (per-query cell pruning replaces the cartesian) ---------------------
+    "q_knn_join_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0,
+        sampleSize = 16, sampleByHash = false) // oracle rebuilds "the 16 smallest ids"
+      Similarity.knnJoinCosineIvf(
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        Similarity.ivfAssign(e, "vec_id", "embedding", centroids), centroids,
+        k = 5, nprobe = 6)
+        .select(col("query_id"), col("rank"), col("id"))
+    }),
+
     // ---- similarity: product-quantized ADC search (32x smaller codes; exact oracle via iters=0 codebooks) ----------------
     "q_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -571,7 +584,7 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).collect()
         .head.getSeq[Double](0)
       val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, kSub = 16,
-        iters = 0, sampleSize = 16)
+        iters = 0, sampleSize = 16, sampleByHash = false)
       val enc = Similarity.pqEncode(e, "vec_id", "embedding", books)
       Similarity.pqTopKCosine(enc, books, q, 10)
         .select(col("rank").cast("long").as("rank"), col("id"))
@@ -1101,6 +1114,42 @@ object SparkEntry {
                         list_dot_product(ev.e, qs.qe) /
                           (sqrt(list_dot_product(ev.e, ev.e)) * sqrt(list_dot_product(qs.qe, qs.qe))) AS sim
                  FROM ev CROSS JOIN qs)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id DESC) AS rn
+        FROM scored) WHERE rn <= 5""",
+
+    // IVF k-NN join: per-query probe cells (dot with unit centroids DESC,
+    // cell ASC — probeCells' order), assignment ties take the larger cell
+    // (NearestCentroid parity), candidates = corpus rows in any probed cell
+    // of that query, then the same exact cosine + (sim DESC, id DESC) rank
+    // as q_knn_join.
+    "q_knn_join_ivf" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+                      list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
+               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 16)),
+      qs AS (SELECT vec_id AS query_id, e AS qe FROM ev WHERE vec_id % 100 = 0),
+      qu AS (SELECT query_id, qe,
+                    list_transform(qe, x -> x / sqrt(list_dot_product(qe, qe))) AS u
+             FROM qs),
+      probe AS (SELECT query_id, cell FROM (
+                  SELECT qu.query_id, cent.cell,
+                         row_number() OVER (PARTITION BY qu.query_id
+                           ORDER BY list_dot_product(cent.cu, qu.u) DESC, cent.cell ASC) AS rn
+                  FROM qu CROSS JOIN cent) WHERE rn <= 6),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT ev.vec_id, cent.cell,
+                          row_number() OVER (PARTITION BY ev.vec_id
+                            ORDER BY list_dot_product(ev.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM ev CROSS JOIN cent) WHERE rn = 1),
+      scored AS (SELECT probe.query_id, ev.vec_id AS id,
+                        list_dot_product(ev.e, qs.qe) /
+                          (sqrt(list_dot_product(ev.e, ev.e)) * sqrt(list_dot_product(qs.qe, qs.qe))) AS sim
+                 FROM ev
+                 JOIN assign USING (vec_id)
+                 JOIN probe ON assign.cell = probe.cell
+                 JOIN qs ON qs.query_id = probe.query_id)
       SELECT query_id, CAST(rn AS BIGINT) AS rank, id FROM (
         SELECT query_id, id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id DESC) AS rn

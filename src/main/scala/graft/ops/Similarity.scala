@@ -128,19 +128,29 @@ object Similarity {
     if (n > 0) v.map(_ / n) else v
   }
 
-  /** Train the coarse quantizer: deterministic sample (smallest ids — one
-    * TakeOrdered pass, k-heaps per partition), then Lloyd entirely on the
-    * driver over unit-normalized sample vectors (cosine geometry).
-    * `iters = 0` => centroids are just the unit-normalized embeddings of the
-    * k smallest ids — fully reproducible by any engine from the data alone. */
+  /** Deterministic training-sample order. `byHash = true` (the scale
+    * default): md5 of the stringified id — at 100 TB ids correlate with
+    * source/shard/time, so "smallest ids" would train the quantizer on one
+    * corner of the distribution; the value-keyed hash is an unbiased,
+    * engine-portable draw (the repo's Sharding discipline), still one
+    * TakeOrdered pass. `byHash = false`: the raw id column (any orderable
+    * type — an ANSI cast to long would throw on string ids), kept for the
+    * iters=0 oracle queries DuckDB rebuilds from "the k smallest ids". */
+  private def sampleOrder(idCol: String, byHash: Boolean): Seq[Column] =
+    if (byHash) Seq(md5(col(idCol).cast("string")), col(idCol)) else Seq(col(idCol))
+
+  /** Train the coarse quantizer: deterministic sample (one TakeOrdered pass,
+    * k-heaps per partition — see [[sampleOrder]] for the order), then Lloyd
+    * entirely on the driver over unit-normalized sample vectors (cosine
+    * geometry). `iters = 0` => centroids are just the unit-normalized
+    * embeddings of the first k sampled ids — fully reproducible by any
+    * engine from the data alone. */
   def ivfTrain(
       df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3,
-      sampleSize: Int = 4096): Seq[Seq[Double]] = {
-    // order by the RAW id column (any orderable type — an ANSI cast to long
-    // would throw on string ids and truncate doubles)
+      sampleSize: Int = 4096, sampleByHash: Boolean = true): Seq[Seq[Double]] = {
     val sample = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
-      .orderBy("id").limit(math.max(sampleSize, k))
+      .orderBy(sampleOrder("id", sampleByHash): _*).limit(math.max(sampleSize, k))
       .collect().map(r => r.getSeq[Double](1).toArray)
     require(sample.length >= k, s"need >= $k vectors to train $k cells")
     val points = sample.map(unit)
@@ -180,8 +190,9 @@ object Similarity {
     * partition-prune to their nprobe cells) and centroids as JSON. */
   def ivfBuildIndex(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
-      numCells: Int = 16, iters: Int = 3, sampleSize: Int = 4096): Seq[Seq[Double]] = {
-    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize)
+      numCells: Int = 16, iters: Int = 3, sampleSize: Int = 4096,
+      sampleByHash: Boolean = true): Seq[Seq[Double]] = {
+    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
     ivfAssign(df, idCol, embCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -250,9 +261,10 @@ object Similarity {
   def ivfPqBuildIndex(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
       numCells: Int = 16, m: Int = 8, kSub: Int = 16, iters: Int = 3,
-      sampleSize: Int = 4096): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize)
-    val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize)
+      sampleSize: Int = 4096,
+      sampleByHash: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
+    val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize, sampleByHash)
     ivfPqEncode(df, idCol, embCol, centroids, codebooks)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     val spark = df.sparkSession
@@ -320,6 +332,14 @@ object Similarity {
     val scored = c.crossJoin(q)
       .select(col("query_id"), col("id"),
         (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** The bounded-priority-queue per-query top-k tail shared by the k-NN
+    * joins: partials merge, so each partition shuffles at most k structs per
+    * query. Ranking is (cosine desc, id desc) — the tie direction the queue
+    * cut itself has. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(org.apache.spark.sql.graftbridge
         .collectTopK(struct(col("cosine"), col("id")), k, reverse = false).as("__t"))
@@ -327,6 +347,52 @@ object Similarity {
         posexplode(reverse(sort_array(col("__t")))).as(Seq("__p", "__s")))
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
         col("__s.id").as("id"), col("__s.cosine").as("cosine"))
+
+  /** IVF-accelerated batch k-NN join — the 100x-scale replacement for
+    * [[knnJoinCosine]]'s cartesian: each query scores only its `nprobe`
+    * nearest cells of a pre-assigned corpus (from [[ivfAssign]] or the
+    * persisted [[ivfBuildIndex]] layout) instead of every corpus row. Probe
+    * cells are computed on the driver from the collected query batch — the
+    * same "queries are the small side" contract under which the brute-force
+    * join broadcasts them — and the union of all probed cells becomes an
+    * explicit `cell IN (...)` filter, so a persisted index scan
+    * partition-prunes to exactly the cells any query needs. The (query, cell)
+    * fan-out joins BROADCAST-hash on `cell` (never a nested-loop cartesian):
+    * compute is Σ_q |probed cells of q|, not |C| x |Q|. Same bounded-queue
+    * top-k tail, same zero-vector exclusions, approximate exactly like any
+    * IVF search (recall grows with nprobe; nprobe = numCells is exhaustive
+    * and equals brute force). */
+  def knnJoinCosineIvf(
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val qIdType = queries.schema(qIdCol).dataType
+    val qRows = queries
+      .select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qe"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+      .filter { case (_, e) => e != null && e.exists(_ != 0.0) } // zero-vector queries: no rows
+    val probed = qRows.flatMap { case (qid, qe) =>
+      probeCells(centroids, qe, nprobe).map(cell =>
+        org.apache.spark.sql.Row(cell, qid, qe))
+    }
+    val cells = probed.map(_.getInt(0)).distinct.toSeq
+    import scala.jdk.CollectionConverters._
+    val q = broadcast(spark.createDataFrame(probed.toSeq.asJava, StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("query_id", qIdType),
+      StructField("__qe", ArrayType(DoubleType)))))
+      .withColumn("__nq", norm(col("__qe"))))
+    // the isin filter is what partition-prunes a persisted cell= layout
+    val c = indexed.filter(col("cell").isin(cells: _*))
+      .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
+      .withColumn("__nc", norm(col("__ce")))
+      .filter(col("__nc") =!= 0.0)
+    val scored = c.join(q, "cell") // broadcast hash join: each corpus row meets only the queries probing its cell
+      .select(col("query_id"), col("id"),
+        (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
   // ---------------------------------------------------------------------------
@@ -384,20 +450,22 @@ object Similarity {
   // standard IVF-PQ layout.
   // --------------------------------------------------------------------------
 
-  /** Train PQ codebooks: deterministic sample (smallest `sampleSize` ids —
-    * same TakeOrdered discipline as [[ivfTrain]]: never a per-query scan),
+  /** Train PQ codebooks: deterministic sample (same TakeOrdered discipline
+    * as [[ivfTrain]] — see [[sampleOrder]]; never a per-query scan),
     * unit-normalize (cosine geometry), split into `m` contiguous subspaces,
-    * Lloyd per subspace under L2. `iters = 0` => codebook(mi) = the mi-th
-    * subvectors of the `kSub` smallest-id samples — reproducible by any
-    * engine from the data alone (the q_ann_pq oracle recomputes it).
+    * Lloyd per subspace under L2. `iters = 0, sampleByHash = false` =>
+    * codebook(mi) = the mi-th subvectors of the `kSub` smallest-id samples —
+    * reproducible by any engine from the data alone (the q_ann_pq oracle
+    * recomputes it).
     * Ties in assignment keep the smallest centroid index; empty clusters
     * keep their previous centroid. */
   def pqTrain(
       df: DataFrame, idCol: String, embCol: String, m: Int = 8, kSub: Int = 16,
-      iters: Int = 3, sampleSize: Int = 4096): Seq[Seq[Seq[Double]]] = {
+      iters: Int = 3, sampleSize: Int = 4096,
+      sampleByHash: Boolean = true): Seq[Seq[Seq[Double]]] = {
     val sample = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
-      .orderBy("id").limit(math.max(sampleSize, kSub))
+      .orderBy(sampleOrder("id", sampleByHash): _*).limit(math.max(sampleSize, kSub))
       .collect().map(r => r.getSeq[Double](1).toArray)
     require(sample.length >= kSub, s"need >= $kSub vectors to train $kSub codes")
     require(kSub <= 256, "kSub must fit one byte per code")

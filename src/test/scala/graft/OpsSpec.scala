@@ -267,7 +267,7 @@ class OpsSpec extends SparkSpec {
     // iters=0 the smallest-id sample IS its own codebook entry in every
     // subspace, so encoding has zero distortion and self-ADC = ||u||^2 = 1
     val books0 = Similarity.pqTrain(embs, "vec_id", "embedding", m = 8, kSub = 16,
-      iters = 0, sampleSize = 16)
+      iters = 0, sampleSize = 16, sampleByHash = false) // smallest-id sample: v0 IS codebook entry 0
     val v0id = embs.orderBy("vec_id").select($"vec_id").as[Long].collect().head
     val v0 = embs.filter($"vec_id" === v0id).select($"embedding".cast("array<double>"))
       .as[Seq[Double]].collect().head
@@ -344,6 +344,45 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", withZero, "vec_id", "embedding", 5)
       .select($"query_id", $"id").as[(Long, Long)].collect()
     assert(!z.exists(r => r._1 == 99999L || r._2 == 99999L))
+  }
+
+  test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
+    val indexed = Similarity.ivfAssign(embs, "vec_id", "embedding", centroids).cache()
+    // exhaustive probing: candidate set == full corpus => identical to the cartesian join
+    val brute = Similarity.knnJoinCosine(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    val all = Similarity.knnJoinCosineIvf(queries, "vec_id", "embedding",
+      indexed, centroids, k = 5, nprobe = 16)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    assert(all === brute)
+    // pruned probing: every query still finds itself (its own cell is always probed)
+    val pruned = Similarity.knnJoinCosineIvf(queries, "vec_id", "embedding",
+      indexed, centroids, k = 5, nprobe = 8)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect()
+    val qIds = queries.select($"vec_id").as[Long].collect().toSet
+    assert(pruned.map(_._1).toSet === qIds)
+    qIds.foreach { q =>
+      assert(pruned.find(r => r._1 == q && r._2 == 1L).exists(_._3 == q), s"query $q")
+    }
+    // recall vs brute force at nprobe 8/16: the embeddings table has NO
+    // planted neighbor structure (near-random vectors), so pruning half the
+    // cells legitimately loses some of the (weak, cosine~0.4) "neighbors" —
+    // the bound pins the measured deterministic value, not a hope
+    val recall = pruned.count(brute).toDouble / brute.size
+    assert(recall >= 0.6, s"IVF knn-join recall $recall")
+    // zero-vector hygiene matches the brute-force join: no NaN ranks
+    val withZero = embs.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionAll(Seq((99999L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding"))
+    val zIdx = Similarity.ivfAssign(withZero, "vec_id", "embedding", centroids)
+    val z = Similarity.knnJoinCosineIvf(
+      withZero.filter($"vec_id" % 100 === 0 || $"vec_id" === 99999L), "vec_id", "embedding",
+      zIdx, centroids, k = 5, nprobe = 16)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    assert(!z.exists(r => r._1 == 99999L || r._2 == 99999L))
+    indexed.unpersist()
   }
 
   test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {

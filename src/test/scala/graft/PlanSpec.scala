@@ -131,6 +131,34 @@ class PlanSpec extends SparkSpec {
     assert(scanned <= probedRows, s"scan emitted $scanned rows; probed cells hold $probedRows")
   }
 
+  test("IVF knn join over the persisted index: partition-pruned scan + broadcast hash join replace the cartesian") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-ivf-knn-plan").toString
+    val centroids = graft.ops.Similarity.ivfBuildIndex(
+      e, "vec_id", "embedding", dir, numCells = 16, iters = 0, sampleSize = 16)
+    val indexed = spark.read.parquet(s"$dir/cells")
+    val queries = e.filter(col("vec_id") % 200 === 0) // few queries -> probed cells a real subset
+    val out = graft.ops.Similarity.knnJoinCosineIvf(
+      queries, "vec_id", "embedding", indexed, centroids, k = 5, nprobe = 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // the brute-force join's cartesian is gone; cell equi-join broadcasts
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // same bounded-queue top-k tail as the brute-force join
+    assert(p.contains("partial_collect_top_k"), p)
+    // the cell IN-filter prunes index partitions at the scan
+    val scan = out.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      s"cell IN-filter must prune partitions:\n$scan")
+    // non-tautological: the scan emitted only the probed cells' rows
+    val scanned = out.queryExecution.executedPlan
+      .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .map(_.metrics("numOutputRows").value).sum
+    val totalRows = indexed.count()
+    assert(scanned < totalRows, s"scan emitted $scanned of $totalRows rows — no pruning happened")
+  }
+
   test("minhash/simhash signature projections stay inside whole-stage codegen") {
     // the signatures are native Expressions (one JITed static call each) — a
     // HOF fold here would be CodegenFallback and evict the whole projection

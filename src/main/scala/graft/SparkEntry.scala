@@ -520,6 +520,18 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // ---- dedup: SemDeDup (semantic near-dup clusters via the IVF coarse quantizer) ---------------------------------------
+    // iters=0 quantizer so DuckDB rebuilds the exact cells; pairs form only
+    // within a cell; clusters via the same CC the lexical dedup uses.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0,
+        sampleSize = 16, sampleByHash = false)
+      val pairs = Similarity.semanticNearDupPairs(e, "vec_id", "embedding", centroids,
+        threshold = 0.35, maxCell = 4096)
+      Components.nearDupGroups(pairs).select(col("id").as("vec_id"), col("component"))
+    }),
+
     // ---- similarity: brute-force cosine top-k ------------------------------------------------------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1050,6 +1062,31 @@ object SparkEntry {
            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id AND a.embedding = b.embedding""",
+
+    // SemDeDup: same iters=0 cell assignment as q_ann_ivf, within-cell cosine
+    // pairs (dot/(norm*norm) — the engine's exact grouping, so the 0.35
+    // threshold compare is bit-stable), reachability CC like q_dedup_groups.
+    "q_dedup_semantic" -> """
+      WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+                      list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
+               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 16)),
+      assign AS (SELECT vec_id, e, cell FROM (
+                   SELECT ev.vec_id, ev.e, cent.cell,
+                          row_number() OVER (PARTITION BY ev.vec_id
+                            ORDER BY list_dot_product(ev.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM ev CROSS JOIN cent) WHERE rn = 1),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35),
+      eg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      walk(id, reach) AS (
+        SELECT u, u FROM eg
+        UNION
+        SELECT w.id, eg.v FROM walk w JOIN eg ON eg.u = w.reach
+      )
+      SELECT id AS vec_id, MIN(reach) AS component FROM walk GROUP BY id""",
 
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

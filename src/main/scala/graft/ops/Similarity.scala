@@ -571,6 +571,16 @@ object Similarity {
     val planes = hyperplanes(numPlanes, d, seed)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshSignature(col(embCol), planes).as("sig"))
+    pairsWithinBuckets(v, threshold, maxBucket)
+  }
+
+  /** Cosine pairs formed only INSIDE one `sig` bucket of a (id, emb, sig)
+    * frame — one grouped pass carrying the vectors (a self-join on sig would
+    * re-run the whole upstream pipeline on both sides), oversize buckets
+    * capped + audited. Shared by the LSH-bucketed and SemDeDup cell-bucketed
+    * pair generators. */
+  private def pairsWithinBuckets(
+      v: DataFrame, threshold: Double, maxBucket: Int): AuditedPairs = {
     val grouped = v.groupBy("sig")
       .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("xs"))
     val (observed, obs, recompute) = Dedup.observeDrops(grouped, "xs", maxBucket)
@@ -586,6 +596,52 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     AuditedPairs(pairs, obs, recompute)
+  }
+
+  // --------------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication —
+  // cluster embeddings with a coarse quantizer, then drop all but one
+  // representative of every within-cluster group whose pairwise cosine
+  // exceeds the threshold. The missing member of the dedup family: exact
+  // (digest), lexical (MinHash/SimHash), and this — MEANING-level near-dups
+  // (paraphrases, re-encodings) that share no n-grams.
+  //
+  // Scale shape: the coarse assignment is the one full scan (codegen'd
+  // NearestCentroid); pairs form only within a cell (numCells bounds the
+  // quadratic — the paper uses ~100k clusters at web scale for exactly this
+  // reason), oversize cells capped + AUDITED like every other bucketed dedup
+  // here. Reuses the trained IVF quantizer, so an ANN index and semantic
+  // dedup share one training pass.
+  // --------------------------------------------------------------------------
+
+  /** Within-cell cosine pairs over an IVF cell assignment (the SemDeDup
+    * candidate structure). Deterministic given the centroids; with iters=0
+    * centroids this is oracle-reproducible end-to-end (q_dedup_semantic). */
+  def semanticNearDupPairsAudited(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): AuditedPairs = {
+    val v = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(col(embCol), centroids).as("sig"))
+    pairsWithinBuckets(v, threshold, maxCell)
+  }
+
+  /** [[semanticNearDupPairsAudited]] without the audit handle. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): DataFrame =
+    semanticNearDupPairsAudited(df, idCol, embCol, centroids, threshold, maxCell).pairs
+
+  /** Full SemDeDup: keep one representative (the component-minimum id) per
+    * semantic cluster — pairs -> connected components -> anti-join losers,
+    * the same keep discipline as the pipeline's lexical near-dup stage. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, embCol, centroids, threshold, maxCell)
+    val losers = Components.nearDupGroups(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** [[cosineNearDupPairsLshAudited]] without the audit handle. */

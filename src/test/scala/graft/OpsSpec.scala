@@ -346,6 +346,30 @@ class OpsSpec extends SparkSpec {
     assert(!z.exists(r => r._1 == 99999L || r._2 == 99999L))
   }
 
+  test("SemDeDup: planted duplicate vectors collapse to the min-id representative; within-cell pairs match brute force") {
+    val dupEmbs = embs.select($"vec_id", $"embedding")
+      .unionAll(embs.filter($"vec_id" % 50 === 0).select($"vec_id" + 100000, $"embedding"))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(dupEmbs, "vec_id", "embedding", k = 16, iters = 3)
+    // identical vectors always share an argmax cell, so at ~1.0 threshold the
+    // cell structure loses nothing: semantic pairs == unbucketed brute force
+    val semPairs = Similarity.semanticNearDupPairs(dupEmbs, "vec_id", "embedding", cents, 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineNearDupPairs(dupEmbs, "vec_id", "embedding", 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semPairs === brute && brute.nonEmpty)
+    // full dedup: every planted copy dropped, every original kept (embeddings
+    // have no natural pairs at this threshold — max natural cosine ~0.5)
+    val kept = Similarity.semanticDedup(dupEmbs, "vec_id", "embedding", cents, 0.9999).cache()
+    assert(kept.count() === embs.count())
+    assert(kept.filter($"vec_id" >= 100000).count() === 0)
+    kept.unpersist()
+    // oversize-cell audit is live (cap of 1 drops every >=2 cell, audited)
+    val audited = Similarity.semanticNearDupPairsAudited(
+      dupEmbs, "vec_id", "embedding", cents, 0.9999, maxCell = 1)
+    assert(audited.pairs.count() === 0 && audited.droppedIds > 0)
+  }
+
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)

@@ -397,8 +397,17 @@ object Bench {
         f""""phases_sec_localN":${phaseJson(phasesN)},"phases_sec_local4N":${phaseJson(phases4N)},""" +
         f""""phase_scaling_efficiency":$phaseEffJson,""" +
         f""""samples_sec":$sampleJson,"incremental":$incJson}"""
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}""")
+    val headline =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","suite":$suiteJson}"""
+    println(headline)
+    // the stdout capture has clipped the head of this line twice (r4/r5
+    // "parsed: null") — persist the complete headline to a file as well
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
+    try {
+      java.nio.file.Files.write(outPath, (headline + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] headline written to ${outPath.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] headline file write failed: $e") }
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()

@@ -27,20 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    aggregate/zip_with Column pipeline (XXH64.hashUTF8String is exactly
   *    Spark's xxhash64 on strings).
   */
-case class SimHashSig(child: Expression) extends UnaryExpression {
+case class SimHashSig(child: Expression, words: Int = SimHashSig.Words)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"simhash_sig expects string, got ${child.dataType.catalogString}")
+    else if (words < 1) TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig needs words >= 1, got $words")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_sig"
 
   override def nullSafeEval(v: Any): Any =
-    SimHashSig.compute(v.asInstanceOf[UTF8String])
+    SimHashSig.compute(v.asInstanceOf[UTF8String], words)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.compute($c, $words)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
@@ -48,43 +51,62 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
 object SimHashSig {
   val BitsPerWord = 60
+  /** Default width: two 60-bit words (120 bits) — the q_dedup_simhash oracle
+    * construction. Wider signatures (see [[compute]]) keep bucket values
+    * ~log2(corpus) bits at 10^9+ docs: chunk width = bits/(maxHamming+1), so
+    * at maxHamming=8, 120 bits gives 13-bit chunks (~10^5 docs/bucket-value
+    * at 10^9 docs) while words=4 gives 26-bit chunks. */
   val Words = 2
   val Bits: Int = BitsPerWord * Words
 
   private val mds = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  /** Static so generated code can call it. */
-  def compute(text: UTF8String): ArrayData = {
-    val votes = new Array[Int](Bits)
+  /** Static so generated code can call it. Word construction (engine-portable,
+    * md5-derived): words 2j and 2j+1 come from digest d_j, where d_0 =
+    * md5(token) — bit-identical to the fixed-width original — and d_j =
+    * md5(token || "#" || j) for j >= 1; each digest yields two 60-bit words
+    * from hex chars 1-15 and 16-30. */
+  def compute(text: UTF8String, words: Int): ArrayData = {
+    val bits = BitsPerWord * words
+    val votes = new Array[Int](bits)
     val toks = text.toString.split("\\s+")
     val md = mds.get()
+    val digests = (words + 1) / 2
     var ti = 0
     while (ti < toks.length) {
       val t = toks(ti)
       if (t.nonEmpty) {
-        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // hex chars 1-15: bytes 0-6 then the high nibble of byte 7
-        var w0 = 0L
-        var i = 0
-        while (i < 7) { w0 = (w0 << 8) | (dig(i) & 0xffL); i += 1 }
-        w0 = (w0 << 4) | ((dig(7) & 0xffL) >>> 4)
-        // hex chars 16-30: low nibble of byte 7 then bytes 8-14
-        var w1 = dig(7) & 0x0fL
-        i = 8
-        while (i < 15) { w1 = (w1 << 8) | (dig(i) & 0xffL); i += 1 }
-        var k = 0
-        while (k < BitsPerWord) {
-          votes(k) += (if (((w0 >>> k) & 1L) == 1L) 1 else -1)
-          votes(BitsPerWord + k) += (if (((w1 >>> k) & 1L) == 1L) 1 else -1)
-          k += 1
+        var dj = 0
+        while (dj < digests) {
+          val material = if (dj == 0) t else t + "#" + dj
+          val dig = md.digest(material.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // hex chars 1-15: bytes 0-6 then the high nibble of byte 7
+          var w0 = 0L
+          var i = 0
+          while (i < 7) { w0 = (w0 << 8) | (dig(i) & 0xffL); i += 1 }
+          w0 = (w0 << 4) | ((dig(7) & 0xffL) >>> 4)
+          // hex chars 16-30: low nibble of byte 7 then bytes 8-14
+          var w1 = dig(7) & 0x0fL
+          i = 8
+          while (i < 15) { w1 = (w1 << 8) | (dig(i) & 0xffL); i += 1 }
+          val base0 = 2 * dj * BitsPerWord
+          val base1 = base0 + BitsPerWord
+          var k = 0
+          while (k < BitsPerWord) {
+            votes(base0 + k) += (if (((w0 >>> k) & 1L) == 1L) 1 else -1)
+            if (base1 < bits)
+              votes(base1 + k) += (if (((w1 >>> k) & 1L) == 1L) 1 else -1)
+            k += 1
+          }
+          dj += 1
         }
       }
       ti += 1
     }
-    val out = new Array[Long](Words)
+    val out = new Array[Long](words)
     var w = 0
-    while (w < Words) {
+    while (w < words) {
       var sig = 0L
       var k = 0
       while (k < BitsPerWord) {
@@ -97,8 +119,9 @@ object SimHashSig {
     new GenericArrayData(out)
   }
 
-  def apply(c: Column): Column =
-    graftbridge.toColumn(SimHashSig(graftbridge.toExpression(c)))
+  def apply(c: Column): Column = apply(c, Words)
+  def apply(c: Column, words: Int): Column =
+    graftbridge.toColumn(SimHashSig(graftbridge.toExpression(c), words))
 }
 
 /** MinHash signature (k longs) over word n-gram shingles — one JITed pass:

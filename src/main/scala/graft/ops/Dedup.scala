@@ -244,10 +244,12 @@ object Dedup {
   // SimHash
   // --------------------------------------------------------------------------
 
-  /** Signature width: 120 bits as two 60-bit words, both derived from ONE md5
-    * per token (hex chars 1-15 and 16-30 parsed base-16). md5 (not xxhash64) so
-    * any engine can reproduce the signature bit-for-bit — the DuckDB oracle does.
-    * 60-bit words keep every value positive (no sign-bit shifts). */
+  /** Default signature width: 120 bits as two 60-bit words, both derived from
+    * ONE md5 per token (hex chars 1-15 and 16-30 parsed base-16). md5 (not
+    * xxhash64) so any engine can reproduce the signature bit-for-bit — the
+    * DuckDB oracle does. 60-bit words keep every value positive (no sign-bit
+    * shifts). Every simhash entry point takes a `words` override for wider
+    * signatures (graft.functions.SimHashSig documents the construction). */
   val SimhashWords: Int = graft.functions.SimHashSig.Words
   val SimhashBitsPerWord: Int = graft.functions.SimHashSig.BitsPerWord
   val SimhashBits: Int = graft.functions.SimHashSig.Bits
@@ -257,11 +259,12 @@ object Dedup {
     * per token, all 120 vote counters updated in one JITed loop. (The round-1
     * Column pipeline hashed every token 64x inside a per-bit HOF lambda; a
     * hash-once aggregate fold was still ~1.8 ms/row interpreted.) */
-  def simhash(text: Column): Column = graft.functions.SimHashSig(text)
+  def simhash(text: Column, words: Int = SimhashWords): Column =
+    graft.functions.SimHashSig(text, words)
 
   /** Hamming distance between two multi-word signatures (array<long>). */
-  def hammingDistance(a: Column, b: Column): Column =
-    (1 to SimhashWords).map(w =>
+  def hammingDistance(a: Column, b: Column, words: Int = SimhashWords): Column =
+    (1 to words).map(w =>
       bit_count(element_at(a, w).bitwiseXOR(element_at(b, w))).cast(LongType))
       .reduce(_ + _)
 
@@ -272,13 +275,14 @@ object Dedup {
     * 4x16-bit banding only guaranteed hamming <= 3 but was called with 8).
     * Scale note: chunk width = bits/(maxHamming+1); size the signature so
     * width >~ log2(corpus size) or buckets grow — 120 bits handles
-    * maxHamming=8 at ~10^4 docs/bucket-value; use a wider hash for 10^9. */
-  private[ops] def simhashChunks(maxHamming: Int): Seq[(Int, Int, Int)] = {
-    val bands = math.max(maxHamming + 1, SimhashWords)
+    * maxHamming=8 at ~10^4 docs/bucket-value; pass words=4 (240 bits,
+    * 26-bit chunks) for 10^9+ corpora. */
+  private[ops] def simhashChunks(maxHamming: Int, words: Int = SimhashWords): Seq[(Int, Int, Int)] = {
+    val bands = math.max(maxHamming + 1, words)
     // distribute bands over words as evenly as possible, each word >= 1 band
-    val perWord = Array.fill(SimhashWords)(bands / SimhashWords)
-    (0 until bands % SimhashWords).foreach(perWord(_) += 1)
-    (0 until SimhashWords).flatMap { w =>
+    val perWord = Array.fill(words)(bands / words)
+    (0 until bands % words).foreach(perWord(_) += 1)
+    (0 until words).flatMap { w =>
       val n = perWord(w)
       val base = SimhashBitsPerWord / n
       val rem = SimhashBitsPerWord % n
@@ -292,9 +296,10 @@ object Dedup {
     * computed exactly once per doc and verified straight off the bucket —
     * joining a sigs DataFrame back would re-run the whole md5+vote pipeline
     * per join side (DataFrame reuse re-executes the plan). */
-  def simhashBands(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val chunks = simhashChunks(maxHamming).zipWithIndex.map { case ((w, off, width), bi) =>
+  def simhashBands(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      words: Int = SimhashWords): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol), words).as("sig"))
+    val chunks = simhashChunks(maxHamming, words).zipWithIndex.map { case ((w, off, width), bi) =>
       val word = element_at(col("sig"), w + 1)
       struct(lit(bi).as("band_idx"),
         shiftright(word, off).bitwiseAND(lit((1L << width) - 1)).as("band_hash"))
@@ -311,8 +316,8 @@ object Dedup {
     * EXCLUDED, not OOM'd — and counted in the audit riding the same job. */
   def simhashNearDupsAudited(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): AuditedPairs = {
-    val bands = simhashBands(df, idCol, textCol, maxHamming)
+      maxBucket: Int = DefaultMaxBucket, words: Int = SimhashWords): AuditedPairs = {
+    val bands = simhashBands(df, idCol, textCol, maxHamming, words)
     val grouped = bands.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
     val (observed, obs, recompute) = observeDrops(grouped, "xs", maxBucket)
@@ -324,7 +329,7 @@ object Dedup {
              y -> struct(x.id AS id_a, x.sig AS sig_a, y.id AS id_b, y.sig AS sig_b))))"""))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"),
-        hammingDistance(col("p.sig_a"), col("p.sig_b")).as("hamming"))
+        hammingDistance(col("p.sig_a"), col("p.sig_b"), words).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
@@ -334,8 +339,8 @@ object Dedup {
   /** [[simhashNearDupsAudited]] without the audit handle. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
-    simhashNearDupsAudited(df, idCol, textCol, maxHamming, maxBucket).pairs
+      maxBucket: Int = DefaultMaxBucket, words: Int = SimhashWords): DataFrame =
+    simhashNearDupsAudited(df, idCol, textCol, maxHamming, maxBucket, words).pairs
 
   // --------------------------------------------------------------------------
   // Corpus-level exact LINE dedup (boilerplate-line removal)

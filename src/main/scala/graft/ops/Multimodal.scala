@@ -82,6 +82,84 @@ object FakeMediaCodec extends MediaCodec {
   }
 }
 
+/** Pure-JVM REAL-header codec: parses actual dimensions from BMP and netpbm
+  * PPM/PGM/PBM payloads with no image libraries — the proof that the
+  * [[MediaCodec]] seam carries a real decoder, not only the fake.
+  *
+  *  - BMP: magic "BM"; width/height are little-endian int32 at byte offsets
+  *    18/22 of the BITMAPINFOHEADER (height may be negative for top-down
+  *    rows — absolute value taken).
+  *  - netpbm "P1".."P6": ASCII magic then whitespace-separated width and
+  *    height (comment lines between header tokens are not supported — the
+  *    rare-in-practice case documents itself by returning null/0 dims).
+  *
+  * The COLUMN hook compiles the parse to Catalyst expressions (hex + conv
+  * for the endian swap, regexp for the ASCII header) so it runs inside the
+  * scan projection; the ROW hook parses the same bytes with ByteBuffer/regex.
+  * Unrecognized payloads keep null (column) / 0 (row) dimensions rather than
+  * inventing them. Feature extraction and resize delegate to
+  * [[FakeMediaCodec]]: features need a model, not a header — this codec
+  * proves the decode half of the seam. */
+object HeaderMediaCodec extends MediaCodec {
+
+  /** Unsigned little-endian int32 read as a long: hex() yields the bytes in
+    * storage order, so the endian swap is a hex-pair reorder + base-16 parse. */
+  private def leUInt32(media: Column, off1: Int): Column = {
+    val h = hex(substring(media, off1, 4))
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)),
+      16, 10).cast(LongType)
+  }
+  private def signed32(v: Column): Column =
+    when(v >= 2147483648L, v - 4294967296L).otherwise(v)
+
+  private val PpmHeader = "^P[1-6]\\s+(\\d{1,9})\\s+(\\d{1,9})"
+
+  def decodeImageMeta(media: Column, meta: Column): Column = {
+    val magic = hex(substring(media, 1, 2))
+    val isBmp = magic === lit("424D") && octet_length(media) >= 26
+    // netpbm magics P1..P6 = 0x50 0x31..0x36; header is pure ASCII, so the
+    // 64-byte UTF-8 decode is safe on the branch that uses it
+    val isPpm = magic.isin((1 to 6).map(d => f"503$d"): _*)
+    val head = decode(substring(media, 1, 64), "UTF-8")
+    val w = when(isBmp, leUInt32(media, 19))
+      .when(isPpm, nullif(regexp_extract(head, PpmHeader, 1), lit("")).cast(LongType))
+    val h = when(isBmp, abs(signed32(leUInt32(media, 23))))
+      .when(isPpm, nullif(regexp_extract(head, PpmHeader, 2), lit("")).cast(LongType))
+    struct(
+      meta.getField("media_type").as("media_type"),
+      meta.getField("byte_size").as("byte_size"),
+      w.cast(IntegerType).as("width"),
+      h.cast(IntegerType).as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
+  def features(media: Column, dim: Int): Column = FakeMediaCodec.features(media, dim)
+
+  def resize(meta: Column, maxW: Int, maxH: Int): Column =
+    FakeMediaCodec.resize(meta, maxW, maxH)
+
+  /** Row-level parse of the same headers (the batched-stage hook). */
+  private[ops] def parseDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 18, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Some((bb.getInt, math.abs(bb.getInt)))
+    } else if (bytes.length >= 2 && bytes(0) == 'P'.toByte &&
+        bytes(1) >= '1'.toByte && bytes(1) <= '6'.toByte) {
+      val head = new String(bytes, 0, math.min(64, bytes.length),
+        java.nio.charset.StandardCharsets.US_ASCII) // header tokens are ASCII
+      PpmHeader.r.findFirstMatchIn(head).map(m => (m.group(1).toInt, m.group(2).toInt))
+    } else None
+
+  def decodeOne(id: Long, bytes: Array[Byte], featureDim: Int): Multimodal.DecodedMedia = {
+    val fake = FakeMediaCodec.decodeOne(id, bytes, featureDim)
+    parseDims(bytes) match {
+      case Some((w, h)) => fake.copy(width = w, height = h)
+      case None         => fake.copy(width = 0, height = 0) // honest "unknown"
+    }
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with a typed metadata struct. The Spark-side mechanics — schema,
   * binary slicing, per-partition batch shape, partitioning by media size —

@@ -112,6 +112,30 @@ class OpsSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("simhash words=4: 240-bit signature, words=2 prefix unchanged, banding still lossless") {
+    val sigs2 = dupDocs.select($"doc_id".as("id"), Dedup.simhash($"text").as("s2"))
+    val sigs4 = dupDocs.select($"doc_id".as("id"), Dedup.simhash($"text", 4).as("s4"))
+    // the first two words are the fixed-width construction bit-for-bit (the
+    // oracle contract survives widening)
+    val j = sigs2.join(sigs4, "id")
+    assert(j.filter(element_at($"s2", 1) =!= element_at($"s4", 1) ||
+      element_at($"s2", 2) =!= element_at($"s4", 2)).count() === 0)
+    assert(sigs4.filter(size($"s4") =!= 4).count() === 0)
+    // extra words are real signal, not copies of the first digest
+    assert(j.filter(element_at($"s4", 3) === element_at($"s4", 1)).count() === 0)
+    // pigeonhole banding keeps recall 1.0 at the wider width
+    val maxH = 8
+    val a = sigs4.select($"id".as("id_a"), $"s4".as("sa"))
+    val b = sigs4.select($"id".as("id_b"), $"s4".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .withColumn("h", Dedup.hammingDistance($"sa", $"sb", 4))
+      .filter($"h" <= maxH).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDups(dupDocs, "doc_id", "text", maxHamming = maxH, words = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // exact-dup plants sit at hamming 0 in any width
+  }
+
   test("brute-force cosine top-k: query's own embedding ranks first") {
     val q = embs.filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
       .as[Seq[Double]].collect().head
@@ -493,6 +517,42 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.decodeBatched(media, "doc_id", "media", 8, 32).collect()
       .map(r => r.id -> r.features.toSeq).toMap
     assert(byId.forall { case (id, d) => again(id) == d.features.toSeq })
+  }
+
+  test("HeaderMediaCodec: handcrafted BMP and PPM parse to exact dimensions through column and batched hooks") {
+    import graft.ops.HeaderMediaCodec
+    // BMP: "BM" magic, width=640 at offset 18, height=-480 (top-down) at 22
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+    val bb = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 640); bb.putInt(22, -480)
+    // P6 PPM: ASCII header then (fake) pixel bytes
+    val ppm = "P6\n320 240\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(0x7f.toByte)
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val df = Seq((1L, bmp), (2L, ppm), (3L, junk)).toDF("doc_id", "payload")
+    val ingested = Multimodal.ingest(df, "doc_id", $"payload", "image")
+    // column hook: the parse compiles to Catalyst expressions
+    val cols = ingested.select($"doc_id",
+      Multimodal.decodeImageMeta($"media", $"meta", HeaderMediaCodec).as("m"))
+      .select($"doc_id", $"m.width", $"m.height").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(cols(1L) === (Some(640), Some(480)))
+    assert(cols(2L) === (Some(320), Some(240)))
+    assert(cols(3L) === (None, None)) // unknown format: null, never invented
+    // batched (mapPartitions) hook parses the same bytes row-level
+    val batched = Multimodal.decodeBatched(ingested, "doc_id", "media", 4, 2, HeaderMediaCodec)
+      .collect().map(d => d.id -> (d.width, d.height)).toMap
+    assert(batched(1L) === ((640, 480)))
+    assert(batched(2L) === ((320, 240)))
+    assert(batched(3L) === ((0, 0)))
+    // meta schema is unchanged by the real codec (field name/type parity with
+    // ingest — nullability differs only because ingest's media_type literal
+    // is provably non-null)
+    val m = ingested.select(
+      Multimodal.decodeImageMeta($"media", $"meta", HeaderMediaCodec).as("m")).schema("m")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(m.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
   test("training pipeline end-to-end: every stage removes exactly its planted artifacts") {

@@ -59,6 +59,10 @@ object RunValidation {
   private val keys = Seq("repo", "path")
   private val sortCols = Seq("repo", "path", "constraint_id")
 
+  /** Underscore-prefixed (invisible to data reads) bucket-count sidecar the
+    * stage step writes and every later run checks against `--buckets`. */
+  val BucketCountFile = "_graft_buckets"
+
   /** Library-callable core (main() wraps it with a session). Returns the
     * summary JSON it also prints. */
   def run(spark: SparkSession, a: Args): String = {
@@ -68,6 +72,26 @@ object RunValidation {
 
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketMeta = new org.apache.hadoop.fs.Path(stagingPath, BucketCountFile)
+
+    // completion-model guard: run() treats ANY done manifest row as complete
+    // forever, so a bucket committed by an earlier --incremental run (its
+    // rows carry fingerprints) could be content-changed yet silently skipped
+    // by a later non-incremental invocation. Refuse the mix outright.
+    if (!a.incremental) {
+      val mPath = new org.apache.hadoop.fs.Path(manifest)
+      if (fs.exists(mPath)) {
+        val fingerprinted = spark.read.schema(CheckpointedRunner.manifestSchema)
+          .parquet(manifest)
+          .filter(col("status") === "done" && col("fingerprint").isNotNull)
+          .limit(1).count()
+        require(fingerprinted == 0L,
+          s"manifest at $manifest has content-addressed (fingerprinted) completion rows " +
+            "from --incremental runs; re-invoke with --incremental (a plain run would " +
+            "treat content-changed buckets as done forever)")
+      }
+    }
+
     if (a.restage || !fs.exists(stagingPath)) {
       val in = spark.read.parquet(a.input)
       val withSha =
@@ -83,7 +107,27 @@ object RunValidation {
           Some(xxhash64((keys ++ Seq("commit", "lang", "content_sha256")).map(col): _*))
         else None
       CheckpointedRunner.stage(withSha, keys, a.buckets, staging, rowHash)
+      // record the layout's bucket count: a later run with a different
+      // --buckets would filter staged partitions under the old numbering
+      // while committing manifest rows under the new one
+      val out = fs.create(bucketMeta, true)
+      try out.write(s"${a.buckets}\n".getBytes("UTF-8")) finally out.close()
     }
+
+    // bucket-count guard: the staged layout owns the number; --buckets must agree
+    if (fs.exists(bucketMeta)) {
+      val in = fs.open(bucketMeta)
+      val stagedBuckets =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(stagedBuckets == a.buckets,
+        s"staged layout at $staging was built with --buckets $stagedBuckets " +
+          s"but this run passed --buckets ${a.buckets}; pass the original value " +
+          "or --restage to rebuild the layout")
+    } else
+      System.err.println(
+        s"[graft] $staging predates bucket-count metadata ($BucketCountFile missing) — " +
+          s"cannot verify --buckets ${a.buckets} matches the staged layout; --restage to record it")
 
     def process(in: DataFrame): DataFrame =
       Validator.validate(CodeTable.codeSchema,

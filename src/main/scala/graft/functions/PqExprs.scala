@@ -71,6 +71,12 @@ object PqEncode {
       while (i < n) { u(i) = u(i) / norm; i += 1 }
     }
     val m = books.length
+    // fail loudly on a codebook/vector mismatch (dim not m*sub): a silent
+    // truncated encode would mis-rank every query against this index
+    if (m * books(0)(0).length != n)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has $n dims but the codebook covers " +
+          s"${m} x ${books(0)(0).length} — index built for a different dimension")
     val codes = new Array[Byte](m)
     var mi = 0
     var off = 0
@@ -84,7 +90,7 @@ object PqEncode {
         val c = cents(j)
         var d = 0.0
         var s = 0
-        while (s < sub && off + s < n) {
+        while (s < sub) {
           val diff = u(off + s) - c(s)
           d += diff * diff
           s += 1
@@ -138,9 +144,15 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
 object PqAdcScore {
   /** Static so generated code can call it. */
   def compute(codes: Array[Byte], table: Array[Array[Double]]): Double = {
+    // fail loudly on an m mismatch (e.g. an index built with m=8 scored with
+    // an m=4 table): a silently truncated sum mis-ranks instead of erroring
+    if (codes.length != table.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: ${codes.length} codes vs ${table.length}-subspace ADC table" +
+          " — codes and query table come from different quantizers")
     var s = 0.0
     var mi = 0
-    val m = math.min(codes.length, table.length)
+    val m = codes.length
     while (mi < m) {
       s += table(mi)(codes(mi) & 0xFF)
       mi += 1

@@ -47,5 +47,23 @@ class RunValidationSpec extends SparkSpec {
     // bad argument fails loudly
     intercept[IllegalArgumentException] { RunValidation.parse(Array("--nope")) }
     intercept[IllegalArgumentException] { RunValidation.parse(Array("--input", input)) }
+
+    // mixing guard: the manifest holds fingerprinted (incremental) done rows,
+    // so a non-incremental invocation must refuse — run() would treat
+    // content-changed buckets as done forever
+    val mixErr = intercept[IllegalArgumentException] {
+      RunValidation.run(spark, a.copy(incremental = false))
+    }
+    assert(mixErr.getMessage.contains("--incremental"), mixErr.getMessage)
+
+    // bucket-count guard: the staged layout owns the number
+    val bktErr = intercept[IllegalArgumentException] {
+      RunValidation.run(spark, a.copy(buckets = 16))
+    }
+    assert(bktErr.getMessage.contains("--buckets 8"), bktErr.getMessage)
+    // and --restage with the new count rebuilds instead of corrupting
+    val j4 = RunValidation.run(spark, a.copy(buckets = 16, restage = true,
+      work = s"$root/work16"))
+    assert(j4.contains(""""processed_buckets":16"""), j4)
   }
 }

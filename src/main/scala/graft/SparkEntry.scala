@@ -418,6 +418,15 @@ object SparkEntry {
     "q_skew_profile" -> ((s, dir) =>
       Checks.keySkewProfile(t(s, dir, "events"), Seq("user_id"), topK = 10, parallelism = 32)),
 
+    // ---- N13 functional-dependency profile ------------------------------------------------------------------
+    // Does o_custkey determine o_orderpriority? (The code-table analogue:
+    // does repo determine lang.) Output ∝ violating groups, with the
+    // deterministic majority value (count desc, value asc) and the repair
+    // cost; all-integer arithmetic so the report is bit-stable.
+    "q_fd_check" -> ((s, dir) =>
+      Checks.functionalDependencyViolations(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_orderpriority")),
+
     // ---- N7 drift histograms --------------------------------------------------------------------------------
     "q_drift_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -509,6 +518,15 @@ object SparkEntry {
     // ---- dedup: SimHash (md5-derived 120-bit signature => the DuckDB oracle recomputes it bit-for-bit) -------------------
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = SimhashMaxHamming)),
+
+    // ---- dedup: duplicated-span scrub (exact substring dedup, token 8-gram granularity) -----------------------------------
+    // The engine counts/joins 8-byte xxhash64 gram hashes; the oracle joins
+    // the gram strings themselves (same accepted collision caveat as
+    // q_decontaminate). n=8 isolates the planted near-dup docs' shared
+    // passages; clean docs pass through with dup counts 0.
+    "q_span_scrub" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8, minCount = 2L)
+        .withColumnRenamed("id", "doc_id")),
 
     // ---- dedup: embedding cosine near-dup (LSH-bucketed scale path) -------------------------------------------------------
     "q_embed_neardup" -> ((s, dir) => {
@@ -955,6 +973,21 @@ object SparkEntry {
                 total_rows, distinct_keys
          FROM top, tot""",
 
+    "q_fd_check" ->
+      """WITH pc AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS key, o_orderpriority AS dep, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         mj AS (
+           SELECT key, dep, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY key ORDER BY cnt DESC, dep ASC) AS rn,
+                  CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS grp_rows,
+                  COUNT(*) OVER (PARTITION BY key) AS distinct_deps
+           FROM pc)
+         SELECT key, grp_rows, distinct_deps,
+                dep AS majority_dep, CAST(cnt AS BIGINT) AS majority_cnt,
+                CAST(grp_rows - cnt AS BIGINT) AS minority_rows
+         FROM mj WHERE rn = 1 AND distinct_deps > 1""",
+
     "q_drift_hist" ->
       """SELECT b.lang, b.base_cnt, COALESCE(c.cur_cnt, 0) AS cur_cnt
          FROM (SELECT lang, COUNT(*) AS base_cnt FROM documents GROUP BY lang) b
@@ -1054,6 +1087,34 @@ object SparkEntry {
              CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS BIGINT) AS hamming
       FROM sg a JOIN sg b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= $SimhashMaxHamming""",
+
+    // Duplicated-span scrub: the oracle joins gram STRINGS where the engine
+    // joins their xxhash64s (q_decontaminate's accepted collision caveat);
+    // covered positions / scrub mirrored with list comprehensions.
+    "q_span_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, [t for t in string_split_regex(text, '\s+') if t <> ''] AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos,
+                  COALESCE(CASE WHEN len(tk) < 8 THEN array_to_string(tk, ' ')
+                                ELSE array_to_string(tk[i+1:i+8], ' ') END, '') AS g
+           FROM toks, unnest(CASE WHEN len(tk) < 8 THEN [0] ELSE range(0, len(tk)-8+1) END) AS u(i)),
+         duph AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         starts AS (
+           SELECT doc_id, list(pos) AS st, CAST(COUNT(*) AS BIGINT) AS dup_ngrams
+           FROM grams JOIN duph USING (g) GROUP BY doc_id),
+         cov AS (
+           SELECT t.doc_id, t.tk,
+                  COALESCE(list_distinct(flatten([range(s, least(s+8, len(t.tk))) for s in st])), []) AS cv,
+                  COALESCE(s.dup_ngrams, 0) AS dup_ngrams
+           FROM toks t LEFT JOIN starts s USING (doc_id))
+         SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS total_tokens,
+                dup_ngrams,
+                CAST(len(cv) AS BIGINT) AS dup_tokens,
+                COALESCE(array_to_string([tk[i+1] for i in range(0, len(tk)) if NOT list_contains(cv, i)], ' '), '') AS scrubbed
+         FROM cov""",
 
     "q_embed_neardup" ->
       """WITH corpus AS (

@@ -401,4 +401,71 @@ object Dedup {
     df.drop(textCol).join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
+
+  // --------------------------------------------------------------------------
+  // Duplicated-span scrub (exact substring dedup, token n-gram granularity)
+  // --------------------------------------------------------------------------
+
+  /** Duplicated-SPAN detection and scrub — the token-level shape of exact
+    * substring dedup (Lee et al. 2022): an n-gram instance at token position
+    * p is duplicated when its hash occurs >= `minCount` times corpus-wide
+    * (within-document repeats count); a token is scrubbed when ANY duplicated
+    * instance covers it, so runs of shared text are removed as whole spans
+    * while each document's unique prose survives. Contrast [[scrubCommonLines]]
+    * (needs exact LINE equality) and document-level near-dup (drops whole
+    * docs): this catches shared passages embedded in otherwise-distinct
+    * documents.
+    *
+    * Output: (id, total_tokens, dup_ngrams, dup_tokens, scrubbed) — one row
+    * per input document; `scrubbed` re-joins surviving tokens with single
+    * spaces (whitespace-normalizing, like every token-level operator here).
+    * Documents shorter than n tokens participate as ONE whole-text gram
+    * ([[graft.functions.NgramHashesAt]]'s fallback): a repeated short doc
+    * scrubs to "".
+    *
+    * Scale model: positional gram hashing is a native codegen Expression
+    * (one JITed pass per document); the global frequency pass is a
+    * partial+final hash aggregate over 8-byte hashes (map-side combine
+    * collapses each partition's repeats — boilerplate compresses best); the
+    * duplicated-instance pass is a semi-join of gram rows against the
+    * above-threshold hash set, output ∝ duplicated instances; reassembly is
+    * one groupBy(id) of the small per-doc start lists plus a JITed scrub
+    * ([[graft.functions.SpanScrub]]). The gram stream is (re)computed for the
+    * count and semi-join passes rather than materialized — two narrow scans
+    * beat persisting a token-scale intermediate. Deliberately NOT a single
+    * collect_list-per-gram shuffle: a corpus-dominant gram ("all rights
+    * reserved") would build one giant bucket; the count+semi-join shape has
+    * no such hot key. 64-bit collisions (~2^-64/pair) can at worst scrub one
+    * innocent span — the same accepted tradeoff as [[scrubCommonLines]] and
+    * decontamination.
+    *
+    * `idCol` MUST be unique (reassembly groups by it — same precondition as
+    * [[scrubCommonLines]]). Null `textCol` rows surface as empty documents
+    * (0 tokens, ""). */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.NgramHashesAt(coalesce(col(textCol), lit("")), n))
+        .as(Seq("pos", "h")))
+    val dupHashes = grams.groupBy("h")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .select("h")
+    val dupStarts = grams.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("id")
+      .agg(collect_list(col("pos")).as("__starts"),
+        count(lit(1)).as("dup_ngrams"))
+    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("__text"))
+      .join(dupStarts, Seq("id"), "left")
+      .withColumn("__s", graft.functions.SpanScrub(
+        col("__text"),
+        coalesce(col("__starts"), array().cast(ArrayType(IntegerType, containsNull = false))),
+        n))
+      .select(col("id"),
+        col("__s.total_tokens").as("total_tokens"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        col("__s.dup_tokens").as("dup_tokens"),
+        col("__s.scrubbed").as("scrubbed"))
+  }
 }

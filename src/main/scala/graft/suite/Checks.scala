@@ -285,4 +285,51 @@ object Checks {
       .select("rank", "key", "cnt", "pct_x10000", "salt_factor",
         "total_rows", "distinct_keys")
   }
+
+  // --------------------------------------------------------------------------
+  // N13: functional-dependency profile — does det → dep hold? The table-scope
+  // consistency check between uniqueness (det → EVERYTHING) and referential
+  // (dep values exist elsewhere): e.g. "repo determines lang" on the
+  // source-code table, with the violating repos listed alongside their
+  // majority language and how many rows disagree with it.
+  //
+  // Scale model: TWO chained hash aggregates, both map-side partial. The first
+  // shuffles (det, dep, partial-count) — never rows; the second runs over the
+  // distinct (det, dep) frame only. The majority value is folded inside the
+  // second aggregate via min(struct(-cnt, dep)) — deterministic (count desc,
+  // value asc) WITHOUT a window, because a window PARTITION BY det would
+  // funnel each det-group through a sort while the struct-min stays a hash
+  // aggregate. All counts are BIGINT; no float arithmetic anywhere.
+  // --------------------------------------------------------------------------
+
+  /** Determinant groups where `detCols` does NOT determine `depCol`:
+    * (key, grp_rows, distinct_deps, majority_dep, majority_cnt,
+    * minority_rows). `minority_rows` (= grp_rows - majority_cnt) is the repair
+    * cost: rows that must change for the dependency to hold. Null dep values
+    * count as the [[NullCategoryKey]] category; null det segments profile as
+    * the empty string segment of the concatenated key (same convention as
+    * [[keySkewProfile]]). Groups that satisfy the dependency are filtered out,
+    * so output ∝ violations, not table size. */
+  def functionalDependencyViolations(
+      df: DataFrame, detCols: Seq[String], depCol: String): DataFrame = {
+    val keyStr = concat_ws("|", detCols.map(c => col(c).cast(StringType)): _*)
+    val depStr = coalesce(col(depCol).cast(StringType), lit(NullCategoryKey))
+    val pairCounts = df
+      .groupBy(keyStr.as("key"), depStr.as("dep"))
+      .agg(count(lit(1)).as("cnt"))
+    pairCounts
+      .groupBy("key")
+      .agg(
+        sum(col("cnt")).cast(LongType).as("grp_rows"),
+        count(lit(1)).as("distinct_deps"),
+        min(struct((-col("cnt")).as("neg_cnt"), col("dep").as("dep"))).as("mj"))
+      .filter(col("distinct_deps") > 1)
+      .select(
+        col("key"),
+        col("grp_rows"),
+        col("distinct_deps"),
+        col("mj.dep").as("majority_dep"),
+        (-col("mj.neg_cnt")).cast(LongType).as("majority_cnt"),
+        (col("grp_rows") + col("mj.neg_cnt")).cast(LongType).as("minority_rows"))
+  }
 }

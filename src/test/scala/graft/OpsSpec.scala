@@ -898,6 +898,41 @@ class OpsSpec extends SparkSpec {
     assert(out4(1L) === "" && out4(2L) === "x")
   }
 
+  test("duplicated-span scrub: shared passages removed as whole spans, unique prose survives") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val a = s"alpha beta gamma delta epsilon zeta eta theta $passage iota kappa lambda mu nu xi omicron pi"
+    val b = s"one two three four five six seven eight $passage nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val c = "completely unique prose with no repeated passages anywhere at all in this corpus honestly"
+    // within-doc repeat: the same 8-token run twice in ONE document
+    val run = "red orange yellow green blue indigo violet ultraviolet" // 8 tokens
+    val d = s"start $run middle filler words to separate them $run finish"
+    val df = (Seq((1L, a), (2L, b), (3L, c), (4L, d),
+      (5L, "tiny shared doc"), (6L, "tiny shared doc"), // < n tokens, identical
+      (7L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", n = 8, minCount = 2L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 7) // every doc surfaces, including clean + null
+    // 10-token shared passage => 3 interior 8-gram instances, 10 covered tokens
+    val (_, totA, ngA, dupA, scrA) = out(1L)
+    assert(totA === 26L && ngA === 3L && dupA === 10L)
+    assert(scrA === "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi")
+    val (_, _, ngB, dupB, scrB) = out(2L)
+    assert(ngB === 3L && dupB === 10L && !scrB.contains("fox"))
+    // clean doc: untouched (whitespace-normalized), zero dup counts
+    assert(out(3L) === ((3L, 14L, 0L, 0L, c)))
+    // within-doc repeat: both instances scrubbed
+    val (_, _, ngD, dupD, scrD) = out(4L)
+    assert(ngD === 2L && dupD === 16L && !scrD.contains("indigo"))
+    assert(scrD === "start middle filler words to separate them finish")
+    // identical short docs: whole-text fallback gram => fully scrubbed
+    assert(out(5L) === ((5L, 3L, 1L, 3L, "")))
+    assert(out(6L) === ((6L, 3L, 1L, 3L, "")))
+    // null text: empty doc — its whole-text gram is "" which only collides
+    // with other empty docs (none here)
+    assert(out(7L) === ((7L, 0L, 0L, 0L, "")))
+  }
+
   test("connected components with isolated vertices: edgeless nodes are singleton components") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -203,6 +203,21 @@ class PlanSpec extends SparkSpec {
       s"pq_adc_score projection not codegen'd:\n$pAdc")
   }
 
+  test("duplicated-span scrub: positional grams + scrub codegen'd; dup hashes semi-joined; no gram collect_list") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // both native expressions keep their projections in whole-stage codegen
+    val pAt = plan(d.select(col("doc_id"),
+      graft.functions.NgramHashesAt(col("text"), 8).as("g")))
+    assert(pAt.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"ngram_hashes_at projection not codegen'd:\n$pAt")
+    val p = plan(graft.ops.Dedup.duplicatedSpans(d, "doc_id", "text", n = 8))
+    // duplicated-instance selection is a LeftSemi join on the 8-byte hash —
+    // never a per-gram collect_list (a corpus-dominant gram would build one
+    // giant bucket)
+    assert(p.contains("LeftSemi"), s"dup-hash selection must be a semi join:\n$p")
+    assert(p.contains("span_scrub"), s"scrub must be the native expression:\n$p")
+  }
+
   test("snapshot diff: partial+final fingerprint aggregates, scans pruned to the hashed columns") {
     val cur = table.filter(col("id") % 5 =!= 0)
     val p = plan(graft.checkpoint.CheckpointedRunner.snapshotDiff(

@@ -528,6 +528,20 @@ object SparkEntry {
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8, minCount = 2L)
         .withColumnRenamed("id", "doc_id")),
 
+    // ---- dedup: incremental delta vs a signature index (portable md5 signatures => DuckDB recomputes bit-for-bit) ---------
+    // doc_id % 3 == 0 plays the new snapshot delta; the rest is the already-
+    // deduped corpus, represented ONLY by its signature frame (its text is
+    // never read). Verification = signature agreement (matches/32 >= 0.8 as
+    // an integer compare), the estimate an index-only dedup must use.
+    "q_dedup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+      Dedup.deltaNearDups(nw, "doc_id", "text",
+        Dedup.minhashSignatures(old, "doc_id", "text", DeltaOracleParams),
+        DeltaOracleParams, threshold = 0.8)
+    }),
+
     // ---- dedup: embedding cosine near-dup (LSH-bucketed scale path) -------------------------------------------------------
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1116,6 +1130,8 @@ object SparkEntry {
                 COALESCE(array_to_string([tk[i+1] for i in range(0, len(tk)) if NOT list_contains(cv, i)], ' '), '') AS scrubbed
          FROM cov""",
 
+    "q_dedup_delta" -> deltaDedupOracle,
+
     "q_embed_neardup" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
@@ -1496,6 +1512,43 @@ object SparkEntry {
                                        for i in range(1, len(string_split(text,' ')) - 1)])
                    ELSE [text] END AS sh
        FROM documents"""
+
+  /** q_dedup_delta params: portable md5-derived signatures so the oracle can
+    * rebuild them; 32 hashes in 8 bands of 4. */
+  val DeltaOracleParams: graft.ops.Dedup.MinhashIndexParams =
+    graft.ops.Dedup.MinhashIndexParams(
+      shingleN = 3, numHashes = 32, bands = 8, seed = 42L, portable = true)
+
+  /** The q_dedup_delta oracle: recompute the portable MinHash signature —
+    * per-shingle md5 raw hash reduced mod the Mersenne prime, folded through
+    * the SAME (a,b) permutations the engine uses (coefficients interpolated
+    * as SQL literals, like the LSH hyperplanes) — then brute-force the
+    * banding candidate rule and the integer matches cut. */
+  private def deltaDedupOracle: String = {
+    val p = DeltaOracleParams
+    val (as, bs) = graft.functions.MinHashSig.coeffs(p.numHashes, p.seed)
+    val coefLits = (0 until p.numHashes)
+      .map(i => s"[${as(i)},${bs(i)}]").mkString("[", ",", "]")
+    val r = p.rowsPerBand
+    val minM = p.minMatches(0.8)
+    s"""WITH s AS ($shingleCte),
+        hs AS (SELECT doc_id,
+                 list_transform(sh, t -> ${hexParseSql("substring(md5(t), 1, 15)")} % 2147483647) AS hv
+               FROM s),
+        sig AS (SELECT doc_id,
+                  list_transform($coefLits,
+                    p -> list_min(list_transform(hv, h -> (p[1]*h + p[2]) % 2147483647))) AS sg
+                FROM hs),
+        tagged AS (SELECT doc_id, sg, (doc_id % 3 = 0) AS is_new FROM sig),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len([i for i in range(1, ${p.numHashes + 1}) if a.sg[i] = b.sg[i]]) AS BIGINT) AS matches,
+                 a.is_new AS a_is_new, b.is_new AS b_is_new
+          FROM tagged a JOIN tagged b ON a.doc_id < b.doc_id
+          WHERE (a.is_new OR b.is_new)
+            AND len([j for j in range(0, ${p.bands}) if a.sg[j*$r+1:j*$r+$r] = b.sg[j*$r+1:j*$r+$r]]) > 0)
+        SELECT id_a, id_b, matches, a_is_new, b_is_new FROM cand WHERE matches >= $minM"""
+  }
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH s AS ($shingleCte)

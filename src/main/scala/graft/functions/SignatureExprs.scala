@@ -128,7 +128,8 @@ object SimHashSig {
   * tokenize, slide the n-gram window, xxhash64 each shingle once, fold all k
   * permutation minima. Replaces the aggregate/zip_with Column fold (which was
   * CodegenFallback and the #2 bench line). */
-case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int, seed: Long)
+case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int, seed: Long,
+    portable: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -139,11 +140,11 @@ case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int, seed: Lo
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(v: Any): Any =
-    MinHashSig.compute(v.asInstanceOf[UTF8String], shingleN, numHashes, seed)
+    MinHashSig.compute(v.asInstanceOf[UTF8String], shingleN, numHashes, seed, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSig.compute($c, $shingleN, $numHashes, ${seed}L)")
+      c => s"graft.functions.MinHashSig.compute($c, $shingleN, $numHashes, ${seed}L, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -168,15 +169,37 @@ object MinHashSig {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
 
+  private val mds = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** ENGINE-PORTABLE raw shingle hash: the first 15 hex chars of md5 parsed
+    * as a 60-bit positive long — the same md5-derived randomness discipline
+    * as SimHashSig/Sharding, so any engine (the DuckDB oracle included)
+    * reproduces it from `md5(shingle)` alone. */
+  def md5Raw60(s: String): Long = {
+    val dig = mds.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var w0 = 0L
+    var i = 0
+    while (i < 7) { w0 = (w0 << 8) | (dig(i) & 0xffL); i += 1 }
+    (w0 << 4) | ((dig(7) & 0xffL) >>> 4)
+  }
+
   /** Static so generated code can call it. Spark's xxhash64 on strings is
     * XXH64.hashUTF8String with seed 42 — values are bit-identical to the
-    * previous pmod(xxhash64(shingle), p) Column pipeline. */
-  def compute(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    * previous pmod(xxhash64(shingle), p) Column pipeline. `portable = true`
+    * swaps the raw shingle hash for [[md5Raw60]] (everything else — the
+    * (a,b) permutations, the Mersenne modulus — is already reproducible from
+    * SQL literals): use it when another engine must recompute the signature
+    * bit-for-bit; xxhash64 stays the fast default. */
+  def compute(text: UTF8String, n: Int, k: Int, seed: Long,
+      portable: Boolean = false): ArrayData = {
     val (as, bs) = coeffs(k, seed)
     val toks = TextTok.words(text.toString)
     val acc = Array.fill(k)(MersennePrime31)
     def fold(shingle: String): Unit = {
-      val raw = XXH64.hashUTF8String(UTF8String.fromString(shingle), 42L)
+      val raw =
+        if (portable) md5Raw60(shingle)
+        else XXH64.hashUTF8String(UTF8String.fromString(shingle), 42L)
       val h = ((raw % MersennePrime31) + MersennePrime31) % MersennePrime31
       var c = 0
       while (c < k) {
@@ -202,5 +225,10 @@ object MinHashSig {
   }
 
   def apply(c: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
-    graftbridge.toColumn(MinHashSig(graftbridge.toExpression(c), shingleN, numHashes, seed))
+    apply(c, shingleN, numHashes, seed, portable = false)
+
+  def apply(c: Column, shingleN: Int, numHashes: Int, seed: Long,
+      portable: Boolean): Column =
+    graftbridge.toColumn(
+      MinHashSig(graftbridge.toExpression(c), shingleN, numHashes, seed, portable))
 }

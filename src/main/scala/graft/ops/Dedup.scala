@@ -468,4 +468,183 @@ object Dedup {
         col("__s.dup_tokens").as("dup_tokens"),
         col("__s.scrubbed").as("scrubbed"))
   }
+
+  // --------------------------------------------------------------------------
+  // Incremental (delta) near-dup dedup against a persisted signature index
+  // --------------------------------------------------------------------------
+  //
+  // The 100 TB reality: the corpus is already deduplicated; each round ADDS a
+  // snapshot delta. Re-running full MinHash dedup re-reads and re-hashes the
+  // whole corpus to ask a question about the delta. Instead, persist the
+  // per-doc signatures once (~0.5 KB/doc — a 10^9-doc corpus is ~0.5 TB of
+  // index vs ~100 TB of text, a 200x cheaper scan) and dedup each delta
+  // against the INDEX: new-vs-old pairs verify on signature agreement
+  // (the standard MinHash Jaccard estimate, matches/k — int/int, bit-stable
+  // across engines), so the old documents' text is NEVER touched.
+
+  /** Parameters of a persisted MinHash signature index. `portable = true`
+    * derives the raw shingle hash from md5 (any engine reproduces the
+    * signature bit-for-bit — the q_dedup_delta oracle does); the default
+    * xxhash64 is faster and Spark-native. */
+  final case class MinhashIndexParams(
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      portable: Boolean = false) {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def rowsPerBand: Int = numHashes / bands
+    /** Integer cut for `estimated jaccard >= threshold`: matches >= this. */
+    def minMatches(threshold: Double): Int = math.ceil(threshold * numHashes).toInt
+  }
+
+  /** (id, sig) signature frame for `df` under `p` — the index's row shape. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, p: MinhashIndexParams): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.MinHashSig(col(textCol), p.shingleN, p.numHashes, p.seed, p.portable)
+        .as("sig"))
+
+  /** Positions where two equal-length signatures agree — the MinHash Jaccard
+    * estimate's integer numerator (estimate = matches / numHashes). Unrolled
+    * element_at comparisons, never a HOF lambda (codegen stays whole-stage). */
+  def sigMatchCount(a: Column, b: Column, numHashes: Int): Column =
+    (1 to numHashes).map(i =>
+      when(element_at(a, i) === element_at(b, i), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Build (overwrite) a signature index for `df` at `indexDir`: `sigs/`
+    * parquet (id, sig) plus a one-row `_params/` sidecar. Append later deltas
+    * with [[minhashIndexAppend]]; dedup deltas with [[deltaNearDupsIndexed]]. */
+  def minhashIndexBuild(
+      df: DataFrame, idCol: String, textCol: String, indexDir: String,
+      p: MinhashIndexParams = MinhashIndexParams()): Unit = {
+    minhashSignatures(df, idCol, textCol, p)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((p.shingleN, p.numHashes, p.bands, p.seed, p.portable))
+      .toDF("shingle_n", "num_hashes", "bands", "seed", "portable")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_params")
+  }
+
+  /** Load a signature index: (sigs (id, sig), params). */
+  def minhashIndexLoad(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): (DataFrame, MinhashIndexParams) = {
+    val m = spark.read.parquet(s"$indexDir/_params").collect().head
+    val p = MinhashIndexParams(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Long]("seed"), m.getAs[Boolean]("portable"))
+    (spark.read.parquet(s"$indexDir/sigs"), p)
+  }
+
+  /** Append `docs`' signatures to an existing index (call AFTER delta-dedup
+    * decided which delta docs survive — append the KEPT ones). Uses the
+    * index's own stored params, so an append can never fork the signature
+    * construction. */
+  def minhashIndexAppend(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
+    val (_, p) = minhashIndexLoad(docs.sparkSession, indexDir)
+    minhashSignatures(docs, idCol, textCol, p).write.mode("append").parquet(s"$indexDir/sigs")
+  }
+
+  /** Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT, between `newDocs`
+    * and an already-deduped corpus represented ONLY by its signature frame
+    * `oldSigs` (id, sig): (id_a, id_b, matches, a_is_new, b_is_new) where
+    * `matches >= p.minMatches(threshold)` (estimated jaccard cut, integer
+    * compare). Old-old pairs are excluded by construction — that corpus is
+    * already deduped.
+    *
+    * Scale model: the delta's signatures are computed once and eagerly
+    * localCheckpoint'd (tiny frame, referenced by both the bucket-key build
+    * and the banding union). Old-side work is INDEX-scan-bounded: bands are
+    * derived from (id, sig) rows and immediately semi-joined against the
+    * delta's distinct bucket keys — broadcast when `broadcastNewKeys` (the
+    * usual case: |delta| x bands keys), so only old rows sharing a bucket
+    * with the delta ever shuffle. Buckets beyond `maxBucket` are excluded
+    * and counted in the audit riding the same job (no silent caps).
+    * Verification is signature agreement ([[sigMatchCount]]) straight off
+    * the bucket rows — the old corpus text is never read. */
+  def deltaNearDupsAudited(
+      newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
+      p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket, broadcastNewKeys: Boolean = true): AuditedPairs = {
+    def bandsOf(sigs: DataFrame, isNew: Boolean): DataFrame = {
+      val banded = (0 until p.bands).map { bi =>
+        struct(lit(bi).as("band_idx"),
+          xxhash64(concat_ws(",", slice(col("sig"), bi * p.rowsPerBand + 1, p.rowsPerBand)))
+            .as("band_hash"))
+      }
+      sigs.select(col("id"), col("sig"), lit(isNew).as("is_new"),
+        explode(array(banded: _*)).as("b"))
+        .select(col("id"), col("sig"), col("is_new"), col("b.band_idx"), col("b.band_hash"))
+    }
+    // candidate/banding boundary: the delta signature frame is tiny and read
+    // twice (bucket keys + banding union) — recomputing it would re-run the
+    // full signature scan per reference (DataFrame reuse re-executes plans)
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, p).localCheckpoint(true)
+    val newBands = bandsOf(newSigs, isNew = true)
+    val newKeys0 = newBands.select("band_idx", "band_hash").distinct()
+    val newKeys = if (broadcastNewKeys) broadcast(newKeys0) else newKeys0
+    val cols = Seq("id", "sig", "is_new", "band_idx", "band_hash").map(col)
+    val oldPruned = bandsOf(oldSigs, isNew = false)
+      .join(newKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .select(cols: _*)
+    val grouped = oldPruned.unionAll(newBands.select(cols: _*))
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("is_new"), col("sig")))).as("xs"))
+    val (observed, obs, recompute) = observeDrops(grouped, "xs", maxBucket)
+    val pairs = observed
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i+2, size(xs)),
+             y -> struct(x.id AS id_a, x.is_new AS a_is_new, x.sig AS sig_a,
+                         y.id AS id_b, y.is_new AS b_is_new, y.sig AS sig_b))))"""))
+        .as("q"))
+      .filter(col("q.a_is_new") || col("q.b_is_new"))
+      .select(col("q.id_a"), col("q.id_b"),
+        sigMatchCount(col("q.sig_a"), col("q.sig_b"), p.numHashes).as("matches"),
+        col("q.a_is_new"), col("q.b_is_new"))
+      .filter(col("matches") >= p.minMatches(threshold))
+      .dropDuplicates("id_a", "id_b")
+    AuditedPairs(pairs, obs, recompute)
+  }
+
+  /** [[deltaNearDupsAudited]] without the audit handle. */
+  def deltaNearDups(
+      newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
+      p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket).pairs
+
+  /** The delta documents that SURVIVE dedup against the indexed corpus:
+    * old documents always win (a new doc near an old one is dropped); among
+    * new-only clusters the minimum-id representative survives (transitive —
+    * clusters come from the same connected components the batch dedup uses).
+    * Returns `newDocs` minus losers; append the survivors' signatures with
+    * [[minhashIndexAppend]] to complete the round. */
+  def deltaDedup(
+      newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
+      p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket)
+      .pairs.localCheckpoint(true) // read by CC rounds AND the tag join below
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val tags = pairs.select(col("id_a").as("id"), col("a_is_new").as("is_new"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("b_is_new").as("is_new")))
+      .distinct()
+    val labeled = comp.join(tags, Seq("id"))
+    val perComp = labeled.groupBy("component").agg(
+      max(when(!col("is_new"), lit(1)).otherwise(lit(0))).as("has_old"),
+      min(when(col("is_new"), col("id"))).as("min_new"))
+    val losers = labeled.join(perComp, Seq("component"))
+      .filter(col("is_new") && (col("has_old") === 1 || col("id") =!= col("min_new")))
+      .select(col("id").as(idCol))
+    newDocs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[deltaDedup]] against a PERSISTED index directory (loads sigs+params). */
+  def deltaDedupIndexed(
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (oldSigs, p) = minhashIndexLoad(newDocs.sparkSession, indexDir)
+    deltaDedup(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket)
+  }
 }

@@ -933,6 +933,72 @@ class OpsSpec extends SparkSpec {
     assert(out(7L) === ((7L, 0L, 0L, 0L, "")))
   }
 
+  test("delta dedup against a signature index: old wins, new-new keeps min id, equals brute force; index round-trips") {
+    import graft.ops.Dedup.MinhashIndexParams
+    val p = MinhashIndexParams(shingleN = 3, numHashes = 32, bands = 8, seed = 42L)
+    val old = docs.select($"doc_id", $"text") // already-deduped corpus
+    // delta: near-copies of old docs (one appended word), one brand-new
+    // unique doc, and a new-new near-dup pair (both unseen in the corpus)
+    val uniqueNew = "totally novel prose that matches nothing else in this little corpus at all honestly"
+    // long enough that a one-word tail difference keeps est-jaccard >= 0.8
+    val twinBase = (1 to 40).map(i => s"tw$i").mkString(" ")
+    val delta = old.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"), concat($"text", lit(" zzzz")).as("text"))
+      .unionAll(Seq(
+        (30000L, uniqueNew),
+        (31000L, s"$twinBase one"),
+        (31001L, s"$twinBase two")).toDF("doc_id", "text"))
+    val oldSigs = Dedup.minhashSignatures(old, "doc_id", "text", p)
+    val pairs = Dedup.deltaNearDupsAudited(delta, "doc_id", "text", oldSigs, p, threshold = 0.8)
+    val got = pairs.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every near-copy pairs with its source; the unique doc pairs with nothing
+    val expectedOldNew = old.filter($"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long].collect().map(i => (i, i + 20000)).toSet
+    assert(expectedOldNew.subsetOf(got), s"missing: ${expectedOldNew -- got}")
+    assert(got.contains((31000L, 31001L))) // new-new twins found
+    assert(!got.exists(pr => pr._1 == 30000L || pr._2 == 30000L))
+    assert(pairs.droppedBuckets === 0L)
+    // brute force over the SAME estimate: signatures driver-side, pairs =
+    // (>=1 band equal) && (matches >= ceil(0.8*32)); must match exactly
+    val sigAll = Dedup.minhashSignatures(old, "doc_id", "text", p)
+      .unionAll(Dedup.minhashSignatures(delta, "doc_id", "text", p))
+      .as[(Long, Seq[Long])].collect()
+    val isNew = delta.select($"doc_id").as[Long].collect().toSet
+    val brute = (for {
+      (ia, sa) <- sigAll; (ib, sb) <- sigAll
+      if ia < ib && (isNew(ia) || isNew(ib))
+      if (0 until p.bands).exists(bi =>
+        sa.slice(bi * 4, bi * 4 + 4) == sb.slice(bi * 4, bi * 4 + 4))
+      if sa.zip(sb).count { case (x, y) => x == y } >= p.minMatches(0.8)
+    } yield (ia, ib)).toSet
+    assert(got === brute)
+    // deltaDedup: near-copies lose to their old sources, min-id twin survives
+    val kept = Dedup.deltaDedup(delta, "doc_id", "text", oldSigs, p, threshold = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(30000L) && kept.contains(31000L))
+    assert(!kept.contains(31001L))
+    assert(!kept.exists(i => i > 20000L && i < 30000L))
+    // persisted index round-trip: build -> load params -> indexed dedup equal
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.minhashIndexBuild(old, "doc_id", "text", idx, p)
+    val (loadedSigs, loadedP) = Dedup.minhashIndexLoad(spark, idx)
+    assert(loadedP === p)
+    val keptIdx = Dedup.deltaDedupIndexed(delta, "doc_id", "text", idx, threshold = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptIdx === kept)
+    // append survivors; the index now covers corpus + kept delta
+    val before = loadedSigs.count()
+    Dedup.minhashIndexAppend(delta.join(keptIdx.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", idx)
+    assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === before + keptIdx.size)
+    // portable signatures: different values, same planted-pair recall
+    val pp = p.copy(portable = true)
+    val gotP = Dedup.deltaNearDups(delta, "doc_id", "text",
+      Dedup.minhashSignatures(old, "doc_id", "text", pp), pp, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expectedOldNew.subsetOf(gotP) && gotP.contains((31000L, 31001L)))
+  }
+
   test("connected components with isolated vertices: edgeless nodes are singleton components") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -218,6 +218,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("span_scrub"), s"scrub must be the native expression:\n$p")
   }
 
+  test("delta dedup: old bands pruned by a broadcast semi-join on the delta's bucket keys") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.ops.Dedup.MinhashIndexParams(numHashes = 32, bands = 8)
+    val oldSigs = graft.ops.Dedup.minhashSignatures(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", p)
+    val pairs = graft.ops.Dedup.deltaNearDups(
+      d.filter(col("doc_id") % 3 === 0), "doc_id", "text", oldSigs, p)
+    val pl = plan(pairs)
+    // the index side must be filtered to buckets the delta touches BEFORE the
+    // banding shuffle — a broadcast semi-join, never a plain shuffle of every
+    // old band (and never any nested-loop/cartesian shape)
+    assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftSemi"),
+      s"old-band prune must be a broadcast semi join:\n$pl")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
+  }
+
   test("snapshot diff: partial+final fingerprint aggregates, scans pruned to the hashed columns") {
     val cur = table.filter(col("id") % 5 =!= 0)
     val p = plan(graft.checkpoint.CheckpointedRunner.snapshotDiff(

@@ -555,10 +555,13 @@ object SparkEntry {
     // ---- dedup: SemDeDup (semantic near-dup clusters via the IVF coarse quantizer) ---------------------------------------
     // iters=0 quantizer so DuckDB rebuilds the exact cells; pairs form only
     // within a cell; clusters via the same CC the lexical dedup uses.
+    // k=64: within-cell pair cost is quadratic in cell size (SemDeDup's
+    // design bounds it with MANY cells — the paper uses ~100k at web scale);
+    // 16 cells over the sf0.1 battery table made this the slowest line.
     "q_dedup_semantic" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0,
-        sampleSize = 16, sampleByHash = false)
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 64, iters = 0,
+        sampleSize = 64, sampleByHash = false)
       val pairs = Similarity.semanticNearDupPairs(e, "vec_id", "embedding", centroids,
         threshold = 0.35, maxCell = 4096)
       Components.nearDupGroups(pairs).select(col("id").as("vec_id"), col("component"))
@@ -1147,7 +1150,7 @@ object SparkEntry {
       WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
                       list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
-               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 16)),
+               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 64)),
       assign AS (SELECT vec_id, e, cell FROM (
                    SELECT ev.vec_id, ev.e, cent.cell,
                           row_number() OVER (PARTITION BY ev.vec_id

@@ -135,4 +135,41 @@ object StreamingDedup {
           events.iterator
       }
   }
+
+  /** Streaming NEAR-dup corpus dedup against a persisted MinHash signature
+    * index (graft.ops.Dedup.minhashIndexBuild): each micro-batch plays a
+    * snapshot delta — it is deduped against the index (earlier corpus always
+    * wins; within-batch clusters keep the min id), survivors go to `sink`,
+    * and the survivors' SIGNATURES are appended to the index so later
+    * batches dedup against earlier ones.
+    *
+    * The cross-batch state is the INDEX ON DISK, not stream state: executor
+    * state never grows with the corpus (a 10^9-doc history is ~0.5 TB of
+    * parquet, not state-store memory), and a restarted query resumes against
+    * exactly the committed index. The append runs AFTER `sink` returns, so a
+    * failed batch re-processes with the index unchanged (at-least-once:
+    * re-delivery re-dedups to the same survivors). Build the index before
+    * starting — on the existing corpus, or on an EMPTY frame of the right
+    * schema for a from-scratch stream.
+    *
+    * `sink` must materialize its DataFrame before returning (write/collect);
+    * the survivor frame is persisted across `sink` and the signature append
+    * and unpersisted when both finish. */
+  def deltaDedupStream(
+      stream: DataFrame, idCol: String, textCol: String, indexDir: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch.persist()
+      try {
+        val kept = graft.ops.Dedup
+          .deltaDedupIndexed(b, idCol, textCol, indexDir, threshold, maxBucket)
+          .persist() // read by sink AND the signature append
+        try {
+          sink(kept, batchId)
+          graft.ops.Dedup.minhashIndexAppend(kept, idCol, textCol, indexDir)
+        } finally kept.unpersist()
+      } finally b.unpersist()
+    }
 }

@@ -827,6 +827,12 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === ufComponents(edges))
     assert(got(1199L) === 1000L && got(10L) === 10L && got(5000L) === 4999L)
+    // the small-graph driver path (default) and the distributed rounds
+    // (forced with smallGraphEdges = 0) must agree exactly
+    val distributed = Components.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b", smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === got)
   }
 
   test("connected components: string ids work; non-convergence throws instead of silent partials") {
@@ -836,7 +842,10 @@ class OpsSpec extends SparkSpec {
     assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Components.connectedComponents(chain, "id_a", "id_b", maxRounds = 1)
+      // smallGraphEdges = 0 forces the distributed rounds (the driver
+      // union-find path cannot hit maxRounds by construction)
+      Components.connectedComponents(chain, "id_a", "id_b", maxRounds = 1,
+        smallGraphEdges = 0L)
     }
   }
 

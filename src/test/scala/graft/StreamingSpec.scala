@@ -181,6 +181,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming delta dedup: index on disk is the cross-batch state; earlier corpus wins") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val p = Dedup.MinhashIndexParams(numHashes = 32, bands = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sdelta").toString
+    // index starts from an EMPTY corpus of the right schema
+    Dedup.minhashIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx, p)
+    val docA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val docB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.deltaDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.8) {
+      (kept, batchId) =>
+        survivors.synchronized {
+          survivors ++= kept.select("doc_id").collect().map(r => (batchId, r.getLong(0)))
+        }
+    }.start()
+    try {
+      // batch 0: A twice (near-copies) -> min id 10 survives
+      input.addData((10L, docA), (11L, docA + " tail"))
+      q.processAllAvailable()
+      // batch 1: another near-copy of A (loses to the INDEXED batch-0 doc) + novel B
+      input.addData((12L, docA + " other"), (20L, docB))
+      q.processAllAvailable()
+      // batch 2: near-copy of B from two batches ago -> still caught
+      input.addData((21L, docB + " again"))
+      q.processAllAvailable()
+      assert(survivors.toSet === Set((0L, 10L), (1L, 20L)))
+      // the index holds exactly the survivors' signatures
+      assert(Dedup.minhashIndexLoad(spark, idx)._1.select("id").as[Long].collect().toSet
+        === Set(10L, 20L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

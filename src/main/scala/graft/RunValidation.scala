@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *   [--restage]                    \   // (re-)stage the input before validating
   *   [--dim /data/repo_commits]     \   // optional referential dim (repo, commit)
   *   [--profile repo,lang,content]  \   // optional profiling columns
-  *   [--unique repo,path,commit]        // optional uniqueness key
+  *   [--unique repo,path,commit]    \   // optional uniqueness key
+  *   [--fd repo:lang]                   // optional functional-dependency check (det[,det]:dep)
   * }}}
   *
   * Scale shape: staging is one partitioned write (+ a narrow fingerprint
@@ -35,7 +36,8 @@ object RunValidation {
       input: String = "", work: String = "", buckets: Int = 256,
       incremental: Boolean = false, restage: Boolean = false,
       dim: Option[String] = None,
-      profileCols: Seq[String] = Nil, uniqueKeys: Seq[String] = Nil)
+      profileCols: Seq[String] = Nil, uniqueKeys: Seq[String] = Nil,
+      fd: Option[(Seq[String], String)] = None)
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -47,6 +49,13 @@ object RunValidation {
       case "--dim" :: v :: t => loop(a.copy(dim = Some(v)), t)
       case "--profile" :: v :: t => loop(a.copy(profileCols = v.split(",").toSeq), t)
       case "--unique" :: v :: t => loop(a.copy(uniqueKeys = v.split(",").toSeq), t)
+      case "--fd" :: v :: t =>
+        v.split(":") match {
+          case Array(dets, dep) if dets.nonEmpty && dep.nonEmpty =>
+            loop(a.copy(fd = Some((dets.split(",").toSeq, dep))), t)
+          case _ => throw new IllegalArgumentException(
+            s"--fd expects det[,det]:dep (e.g. repo:lang), got: $v")
+        }
       case Nil => a
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -151,6 +160,15 @@ object RunValidation {
     }
     if (a.uniqueKeys.nonEmpty)
       extras += s""""duplicate_keys":${Checks.uniqueness(staged, a.uniqueKeys).count()}"""
+    a.fd.foreach { case (dets, dep) =>
+      // violating-group count + total minority rows (the repair cost) — the
+      // full group list stays distributed; the summary line carries totals
+      val fdAgg = Checks.functionalDependencyViolations(staged, dets, dep)
+        .agg(count(lit(1)).as("groups"),
+          coalesce(sum(col("minority_rows")), lit(0L)).as("minority"))
+        .collect().head
+      extras += s""""fd_violating_groups":${fdAgg.getLong(0)},"fd_minority_rows":${fdAgg.getLong(1)}"""
+    }
     a.dim.foreach { d =>
       val dangling = Checks.referentialViolations(
         staged, Seq("commit"), spark.read.parquet(d), Seq("commit"),

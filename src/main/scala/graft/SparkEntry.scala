@@ -567,6 +567,22 @@ object SparkEntry {
       Components.nearDupGroups(pairs).select(col("id").as("vec_id"), col("component"))
     }),
 
+    // ---- dedup: semantic delta vs the IVF cell structure (embedding-side twin of q_dedup_delta) --------------------------
+    // vec_id % 3 == 0 plays the delta; the quantizer trains on the OLD side
+    // only (the index's own centroids — an append never forks the
+    // quantizer); iters=0 so DuckDB rebuilds cells from the data alone.
+    "q_dedup_semantic_delta" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 3 =!= 0)
+      val nw = e.filter(col("vec_id") % 3 === 0)
+      val centroids = Similarity.ivfTrain(old, "vec_id", "embedding", k = 64, iters = 0,
+        sampleSize = 64, sampleByHash = false)
+      Similarity.semanticDeltaPairs(
+        Similarity.ivfAssign(nw, "vec_id", "embedding", centroids),
+        Similarity.ivfAssign(old, "vec_id", "embedding", centroids),
+        threshold = 0.35, maxCell = 4096)
+    }),
+
     // ---- similarity: brute-force cosine top-k ------------------------------------------------------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1167,6 +1183,26 @@ object SparkEntry {
         SELECT w.id, eg.v FROM walk w JOIN eg ON eg.u = w.reach
       )
       SELECT id AS vec_id, MIN(reach) AS component FROM walk GROUP BY id""",
+
+    // Semantic delta: centroids = first 64 OLD vec_ids (iters=0), assignment
+    // tie-break mirrors nearestCentroid (>= keeps the LATER cell), cosine
+    // grouping mirrors the engine exactly (dot/(norm*norm)).
+    "q_dedup_semantic_delta" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+                      list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
+               FROM (SELECT vec_id, e FROM ev WHERE vec_id % 3 <> 0 ORDER BY vec_id ASC LIMIT 64)),
+      assign AS (SELECT vec_id, e, cell FROM (
+                   SELECT ev.vec_id, ev.e, cent.cell,
+                          row_number() OVER (PARTITION BY ev.vec_id
+                            ORDER BY list_dot_product(ev.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM ev CROSS JOIN cent) WHERE rn = 1)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (a.vec_id % 3 = 0) AS a_is_new, (b.vec_id % 3 = 0) AS b_is_new
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
+        AND list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35""",
 
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -626,6 +626,15 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val pairs = deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket)
       .pairs.localCheckpoint(true) // read by CC rounds AND the tag join below
+    newDocs.join(deltaLosers(pairs).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Losing NEW ids of a delta pair set (id_a, id_b, a_is_new, b_is_new):
+    * a new id loses when its connected component contains any old id (old
+    * always wins) or it is not the component's minimum new id. Shared by the
+    * lexical (MinHash) and semantic (IVF) delta dedups. Pass a materialized
+    * `pairs` frame (it is read by the CC rounds and the tag join). */
+  private[ops] def deltaLosers(pairs: DataFrame): DataFrame = {
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
     val tags = pairs.select(col("id_a").as("id"), col("a_is_new").as("is_new"))
       .unionAll(pairs.select(col("id_b").as("id"), col("b_is_new").as("is_new")))
@@ -634,10 +643,9 @@ object Dedup {
     val perComp = labeled.groupBy("component").agg(
       max(when(!col("is_new"), lit(1)).otherwise(lit(0))).as("has_old"),
       min(when(col("is_new"), col("id"))).as("min_new"))
-    val losers = labeled.join(perComp, Seq("component"))
+    labeled.join(perComp, Seq("component"))
       .filter(col("is_new") && (col("has_old") === 1 || col("id") =!= col("min_new")))
-      .select(col("id").as(idCol))
-    newDocs.join(losers, Seq(idCol), "left_anti")
+      .select(col("id"))
   }
 
   /** [[deltaDedup]] against a PERSISTED index directory (loads sigs+params). */

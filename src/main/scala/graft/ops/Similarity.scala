@@ -644,6 +644,92 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // --------------------------------------------------------------------------
+  // Incremental (delta) semantic dedup against a persisted IVF index — the
+  // embedding-side twin of graft.ops.Dedup's MinHash delta dedup: each
+  // snapshot delta of vectors dedups against the corpus's cell-partitioned
+  // IVF index, reading ONLY the cell partitions the delta touches
+  // (partition-pruned — a delta landing in 5 of 100k cells scans 5/100k of
+  // the index). Old vectors always win; new-only clusters keep the
+  // connected-components min id; survivors append to the index
+  // cell-partitioned, ready for the next delta.
+  // --------------------------------------------------------------------------
+
+  /** Within-cell cosine pairs INVOLVING AT LEAST ONE NEW vector, from two
+    * pre-assigned (id, emb, cell) frames (see [[ivfAssign]]):
+    * (id_a, id_b, a_is_new, b_is_new) at cosine >= threshold. Cells beyond
+    * `maxCell` are excluded and counted in the audit riding the job. */
+  def semanticDeltaPairsAudited(
+      newAssigned: DataFrame, oldAssigned: DataFrame,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): AuditedPairs = {
+    val cols = Seq(col("id"), col("emb"), col("cell"), col("is_new"))
+    val tagged = oldAssigned.withColumn("is_new", lit(false)).select(cols: _*)
+      .unionAll(newAssigned.withColumn("is_new", lit(true)).select(cols: _*))
+    val grouped = tagged.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("is_new"), col("emb")))).as("xs"))
+    val (observed, obs, recompute) = Dedup.observeDrops(grouped, "xs", maxCell)
+    val pairs = observed
+      .filter(size(col("xs")).between(2, maxCell))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i+2, size(xs)),
+             y -> struct(x.id AS id_a, x.is_new AS a_is_new, x.emb AS emb_a,
+                         y.id AS id_b, y.is_new AS b_is_new, y.emb AS emb_b))))"""))
+        .as("q"))
+      .filter(col("q.a_is_new") || col("q.b_is_new"))
+      .filter(cosine(col("q.emb_a"), col("q.emb_b")) >= threshold)
+      .select(col("q.id_a"), col("q.id_b"), col("q.a_is_new"), col("q.b_is_new"))
+    AuditedPairs(pairs, obs, recompute)
+  }
+
+  /** [[semanticDeltaPairsAudited]] without the audit handle. */
+  def semanticDeltaPairs(
+      newAssigned: DataFrame, oldAssigned: DataFrame,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): DataFrame =
+    semanticDeltaPairsAudited(newAssigned, oldAssigned, threshold, maxCell).pairs
+
+  /** Delta pairs against a PERSISTED IVF index ([[ivfBuildIndex]] layout):
+    * the delta assigns against the index's own centroids, the touched cell
+    * ids collect to the driver (≤ numCells ints), and the index read is
+    * partition-pruned to exactly those cells. */
+  def semanticDeltaPairsIndexed(
+      newDf: DataFrame, idCol: String, embCol: String, indexDir: String,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): AuditedPairs = {
+    val spark = newDf.sparkSession
+    val centroids = ivfLoadCentroids(spark, indexDir)
+    // tiny frame (the delta), read by the cell collect AND the pair build —
+    // recomputing it would re-run the assignment scan per reference
+    val newAssigned = ivfAssign(newDf, idCol, embCol, centroids).localCheckpoint(true)
+    val cells = newAssigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val old = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id"), col("emb"), col("cell"))
+    semanticDeltaPairsAudited(newAssigned, old, threshold, maxCell)
+  }
+
+  /** The delta vectors that SURVIVE semantic dedup against the indexed
+    * corpus (old wins; min-id keep among new-only clusters — the same
+    * discipline as [[graft.ops.Dedup.deltaDedup]]). Append survivors with
+    * [[ivfIndexAppend]] to complete the round. */
+  def semanticDeltaDedupIndexed(
+      newDf: DataFrame, idCol: String, embCol: String, indexDir: String,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = semanticDeltaPairsIndexed(newDf, idCol, embCol, indexDir, threshold, maxCell)
+      .pairs.localCheckpoint(true)
+    newDf.join(Dedup.deltaLosers(pairs).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Append vectors to a persisted IVF index, assigned with the index's OWN
+    * centroids (an append can never fork the quantizer) and written into
+    * their cell partitions. */
+  def ivfIndexAppend(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String): Unit = {
+    val centroids = ivfLoadCentroids(df.sparkSession, indexDir)
+    ivfAssign(df, idCol, embCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** [[cosineNearDupPairsLshAudited]] without the audit handle. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,

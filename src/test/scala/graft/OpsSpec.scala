@@ -394,6 +394,43 @@ class OpsSpec extends SparkSpec {
     assert(audited.pairs.count() === 0 && audited.droppedIds > 0)
   }
 
+  test("semantic delta dedup: old wins via the persisted IVF index; partition-pruned cells; survivors append") {
+    // corpus = the real embeddings; delta = exact copies of two corpus
+    // vectors (cosine 1.0), a novel synthetic pair (dup of each other only),
+    // and the natural corpus has no near-dups above 0.9 (max cosine 0.51)
+    val old = embs.select($"vec_id", $"embedding")
+    val copies = old.filter($"vec_id".isin(3L, 17L))
+      .select(when($"vec_id" === 3L, 900L).otherwise(901L).as("vec_id"), $"embedding")
+    val synth = (0 until 64).map(i => (math.sin(i * 7 + 1) * 2).toFloat)
+    val twins = Seq((950L, synth), (951L, synth)).toDF("vec_id", "embedding")
+    val delta = copies.unionAll(twins)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sem-delta").toString
+    Similarity.ivfBuildIndex(old, "vec_id", "embedding", idx, numCells = 16, iters = 0,
+      sampleSize = 16)
+    val pairsIdx = Similarity.semanticDeltaPairsIndexed(
+      delta, "vec_id", "embedding", idx, threshold = 0.9)
+    val got = pairsIdx.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 900L)) && got.contains((17L, 901L)) && got.contains((950L, 951L)))
+    assert(pairsIdx.droppedBuckets === 0L)
+    // indexed path == inline-assigned path with the same centroids
+    val cents = Similarity.ivfLoadCentroids(spark, idx)
+    val inline = Similarity.semanticDeltaPairs(
+      Similarity.ivfAssign(delta, "vec_id", "embedding", cents),
+      Similarity.ivfAssign(old, "vec_id", "embedding", cents), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inline === got)
+    // old wins; min-id twin survives
+    val kept = Similarity.semanticDeltaDedupIndexed(delta, "vec_id", "embedding", idx,
+      threshold = 0.9).select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(950L))
+    // survivors append into their cell partitions; next delta sees them
+    Similarity.ivfIndexAppend(twins.filter($"vec_id" === 950L), "vec_id", "embedding", idx)
+    val kept2 = Similarity.semanticDeltaDedupIndexed(
+      Seq((960L, synth)).toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
+      threshold = 0.9).select("vec_id").as[Long].collect().toSet
+    assert(kept2 === Set.empty[Long]) // loses to the appended 950
+  }
+
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)

@@ -218,6 +218,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("span_scrub"), s"scrub must be the native expression:\n$p")
   }
 
+  test("semantic delta dedup: the index read partition-prunes to the delta's cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-sem-delta-plan").toString
+    graft.ops.Similarity.ivfBuildIndex(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", dir,
+      numCells = 16, iters = 0, sampleSize = 16)
+    // a one-vector delta touches ONE cell: the old-side scan must prune to it
+    val delta = e.filter(col("vec_id") === 3).select(
+      (col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val pairs = graft.ops.Similarity.semanticDeltaPairsIndexed(
+      delta, "vec_id", "embedding", dir, threshold = 0.9).pairs
+    val scan = pairs.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      s"delta's touched cells must land in PartitionFilters:\n$scan")
+  }
+
   test("delta dedup: old bands pruned by a broadcast semi-join on the delta's bucket keys") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = graft.ops.Dedup.MinhashIndexParams(numHashes = 32, bands = 8)

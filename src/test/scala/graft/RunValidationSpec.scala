@@ -20,12 +20,21 @@ class RunValidationSpec extends SparkSpec {
 
     val a = RunValidation.parse(Array(
       "--input", input, "--work", work, "--buckets", "8", "--incremental",
-      "--dim", dim, "--profile", "repo,lang", "--unique", "repo,path,commit"))
+      "--dim", dim, "--profile", "repo,lang", "--unique", "repo,path,commit",
+      "--fd", "repo:lang"))
+    assert(a.fd === Some((Seq("repo"), "lang")))
+    intercept[IllegalArgumentException] { RunValidation.parse(Array("--fd", "repolang")) }
     val j1 = RunValidation.run(spark, a)
     assert(j1.contains(""""processed_buckets":8"""), j1)
     assert(j1.contains(""""done_buckets":8"""), j1)
     assert(j1.contains(""""profile":{"repo":"""), j1)
     assert(j1.contains(""""dangling_refs":"""), j1)
+    // repo does NOT determine lang in the code table (multi-lang repos) —
+    // the summary carries the violating-group count and the repair cost
+    assert(j1.contains(""""fd_violating_groups":"""), j1)
+    val fdGroups = j1.split("\"fd_violating_groups\":")(1).split(",")(0).toLong
+    assert(fdGroups > 0, j1)
+    assert(j1.contains(""""fd_minority_rows":"""), j1)
     val viols1 = j1.split("\"violations\":")(1).split(",")(0).toLong
     assert(viols1 > 0) // CodeTable plants violations
 

@@ -469,6 +469,21 @@ object Dedup {
         col("__s.scrubbed").as("scrubbed"))
   }
 
+  /** [[duplicatedSpans]] applied IN PLACE: `df` with `textCol` replaced by
+    * the span-scrubbed text (all other columns preserved; no document
+    * removed). Like every token-level operator here, the scrub re-joins
+    * surviving tokens with single spaces (whitespace-normalizing). The input
+    * is read three times (gram count, duplicated-instance semi-join, final
+    * doc join) — persist it across this call when its lineage is expensive,
+    * the same contract as [[scrubCommonLines]]. */
+  def scrubDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val scrubbed = duplicatedSpans(df, idCol, textCol, n, minCount)
+      .select(col("id").as(idCol), col("scrubbed").as(textCol))
+    df.drop(textCol).join(scrubbed, Seq(idCol))
+  }
+
   // --------------------------------------------------------------------------
   // Incremental (delta) near-dup dedup against a persisted signature index
   // --------------------------------------------------------------------------

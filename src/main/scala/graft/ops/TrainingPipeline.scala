@@ -51,6 +51,8 @@ case class PipelineResult(corpus: DataFrame, report: PipelineReport,
   *
   *   normalize (NFC) + PII scrub  -> one codegen'd projection
   *   (optional) line scrub        -> corpus-frequency boilerplate-line removal
+  *   (optional) span scrub        -> duplicated n-gram span removal (exact
+  *                                   substring dedup; whitespace-normalizing)
   *   validate                     -> compiled rule pipeline; invalid rows drop
   *   exact dedup                  -> digest hash-aggregate
   *   near-dup dedup               -> MinHash LSH pairs (AUDITED bucket cap)
@@ -82,6 +84,7 @@ object TrainingPipeline {
       schema: Option[SchemaSpec] = None,
       probe: Option[(DataFrame, String, String)] = None,
       maxLineFreq: Option[Long] = None,
+      spanScrubN: Option[Int] = None, spanScrubMinCount: Long = 2L,
       shingleN: Int = 3, minhashThreshold: Double = 0.9,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       decontamN: Int = 13, decontamMinHits: Long = 1L,
@@ -100,9 +103,18 @@ object TrainingPipeline {
     // aggregate, posexplode side, final doc join), so the normalize+PII
     // projection is persisted for the duration of the cache-materializing
     // action below instead of being recomputed per pass.
-    val cleaned = maxLineFreq match {
+    val cleaned1 = maxLineFreq match {
       case Some(f) => Dedup.scrubCommonLines(cleaned0.persist(), idCol, textCol, f)
       case None    => cleaned0
+    }
+    // optional duplicated-SPAN pass (exact substring dedup): scrubs token
+    // spans covered by corpus-wide duplicated n-grams; in-place edit like the
+    // line scrub (and, like it, reads its input three times — persist the
+    // upstream frame for the window; note the scrub whitespace-normalizes).
+    val preSpan = if (spanScrubN.isDefined) cleaned1.persist() else cleaned1
+    val cleaned = spanScrubN match {
+      case Some(n) => Dedup.scrubDuplicatedSpans(preSpan, idCol, textCol, n, spanScrubMinCount)
+      case None    => cleaned1
     }
 
     // validate; count input and survivors with ONE observation riding the
@@ -128,10 +140,11 @@ object TrainingPipeline {
     val exact = Dedup.exactDedup(valid, idCol, textCol).persist()
     val nExact = exact.count() // materializes the cache; fires `intake`
     val (nInput, nValid) = intakeCounts(intake, annotated)
-    // everything downstream reads the `exact` cache; the pre-scrub projection
-    // (persisted only for the line-scrub's multi-pass window) can go now —
-    // intakeCounts' recompute fallback has already run if it was going to
+    // everything downstream reads the `exact` cache; the pre-scrub
+    // projections (persisted only for the scrubs' multi-pass windows) can go
+    // now — intakeCounts' recompute fallback has already run if it was going to
     if (maxLineFreq.isDefined) cleaned0.unpersist()
+    if (spanScrubN.isDefined) preSpan.unpersist()
 
     // near-dup: audited pairs (bucket-cap drops ride the same job), cluster
     // via connected components (runs its own bounded actions), count the
@@ -249,8 +262,8 @@ object TrainingPipeline {
     * lifted from the validation entry point to the whole pipeline. Stage state
     * lives under `workDir`, committed through [[graft.checkpoint.StageStore]]:
     *
-    *   - `prepare`  — normalize+PII (+optional line scrub) + validate + exact
-    *     dedup, CHECKPOINTED as the corpus parquet every later stage reads.
+    *   - `prepare`  — normalize+PII (+optional line/span scrubs) + validate +
+    *     exact dedup, CHECKPOINTED as the corpus parquet every later stage reads.
     *     This replaces run()'s in-memory persist: a resume cannot
     *     re-materialize a cache, and at 100 TB the cleaned deduped corpus is
     *     written once either way.
@@ -292,6 +305,7 @@ object TrainingPipeline {
       schema: Option[SchemaSpec] = None,
       probe: Option[(DataFrame, String, String)] = None,
       maxLineFreq: Option[Long] = None,
+      spanScrubN: Option[Int] = None, spanScrubMinCount: Long = 2L,
       shingleN: Int = 3, minhashThreshold: Double = 0.9,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       decontamN: Int = 13, decontamMinHits: Long = 1L,
@@ -336,13 +350,19 @@ object TrainingPipeline {
 
     val corpusDir = StageStore.dataDir(workDir, "corpus")
     val prepareKey =
-      s"v1|in=$inFp|lineFreq=$maxLineFreq|schema=${schema.isDefined}|user=$paramsKey"
+      s"v2|in=$inFp|lineFreq=$maxLineFreq|spanN=$spanScrubN|spanMin=$spanScrubMinCount|" +
+        s"schema=${schema.isDefined}|user=$paramsKey"
     val prep = stage("prepare", prepareKey, Some(corpusDir)) {
       val cleaned0 = docs.withColumn(textCol,
         TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol))))
-      val cleaned = maxLineFreq match {
+      val cleaned1 = maxLineFreq match {
         case Some(f) => Dedup.scrubCommonLines(cleaned0.persist(), idCol, textCol, f)
         case None    => cleaned0
+      }
+      val preSpan = if (spanScrubN.isDefined) cleaned1.persist() else cleaned1
+      val cleaned = spanScrubN match {
+        case Some(n) => Dedup.scrubDuplicatedSpans(preSpan, idCol, textCol, n, spanScrubMinCount)
+        case None    => cleaned1
       }
       val intake = Observation(s"graft_pipeline_intake_${seq.incrementAndGet()}")
       val annotated = schema match {
@@ -365,6 +385,7 @@ object TrainingPipeline {
         .write.mode(SaveMode.Overwrite).parquet(corpusDir)
       val (nInput, nValid) = intakeCounts(intake, annotated)
       if (maxLineFreq.isDefined) cleaned0.unpersist()
+      if (spanScrubN.isDefined) preSpan.unpersist()
       val nExact = spark.read.parquet(corpusDir).count() // footer-stat count
       Map("n_input" -> nInput, "n_valid" -> nValid, "n_exact" -> nExact)
     }

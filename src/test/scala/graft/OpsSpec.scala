@@ -1091,6 +1091,31 @@ class OpsSpec extends SparkSpec {
     assert(org.apache.spark.sql.graftbridge.noCachedPlans(spark))
   }
 
+  test("pipeline span scrub: shared passages removed before dedup; scrub caches released") {
+    spark.catalog.clearCache()
+    val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val a = s"alpha beta gamma delta epsilon zeta eta theta $passage iota kappa lambda mu nu xi omicron pi"
+    val b = s"one two three four five six seven eight $passage nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val corpus = (Seq((1L, a), (2L, b)) ++
+      (0 until 10).map(i => (100L + i, s"unique filler document number $i with several extra words appended here")))
+      .toDF("doc_id", "text")
+    val res = TrainingPipeline.run(corpus, "doc_id", "text", spanScrubN = Some(8))
+    assert(res.report.input === 12L && res.report.output === 12L) // in-place edit, nothing dropped
+    val out = res.corpus.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(!out(1L).contains("fox") && !out(2L).contains("fox")) // shared passage gone
+    assert(out(1L).startsWith("alpha beta gamma"))               // unique prose survives
+    assert(out(100L).contains("unique filler document number 0"))
+    res.unpersist()
+    assert(org.apache.spark.sql.graftbridge.noCachedPlans(spark))
+    // resumable variant: same corpus text through the prepare checkpoint
+    val work = java.nio.file.Files.createTempDirectory("graft-spanpipe").toString
+    val res2 = TrainingPipeline.runResumable(corpus, "doc_id", "text", work,
+      spanScrubN = Some(8))
+    val out2 = res2.corpus.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out2 === out)
+    res2.unpersist()
+  }
+
   test("pipeline packing: composite (split, shard) key fans the window out; bins dense per pair") {
     val res = TrainingPipeline.run(docs.select($"doc_id", $"text"), "doc_id", "text",
       splits = Seq("train" -> 0.9, "val" -> 0.1), splitSalt = "pp",

@@ -101,6 +101,29 @@ object RunValidation {
       }
     }
 
+    // restage guards — checked BEFORE staging overwrites the sidecar. run()'s
+    // completion model is positional (a done manifest row marks its bucket
+    // number complete), so restaging under an existing manifest is only safe
+    // when the bucket numbering is unchanged AND selection is content-
+    // addressed: a changed --buckets would redistribute rows while old done
+    // rows still mask their numbers, and a non-incremental run would treat
+    // every done row as final and skip the re-staged content entirely.
+    def readStagedBuckets(): Option[Int] =
+      if (!fs.exists(bucketMeta)) None
+      else {
+        val in = fs.open(bucketMeta)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    if (a.restage && fs.exists(new org.apache.hadoop.fs.Path(manifest))) {
+      readStagedBuckets().foreach(old => require(old == a.buckets,
+        s"--restage with --buckets ${a.buckets} over a manifest built for $old buckets " +
+          "would leave done rows masking re-numbered buckets; use a fresh --work"))
+      require(a.incremental,
+        "--restage over an existing manifest requires --incremental — a plain run " +
+          "treats done rows as final and would skip the re-staged content")
+    }
+
     if (a.restage || !fs.exists(stagingPath)) {
       val in = spark.read.parquet(a.input)
       val withSha =
@@ -124,19 +147,15 @@ object RunValidation {
     }
 
     // bucket-count guard: the staged layout owns the number; --buckets must agree
-    if (fs.exists(bucketMeta)) {
-      val in = fs.open(bucketMeta)
-      val stagedBuckets =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      require(stagedBuckets == a.buckets,
+    readStagedBuckets() match {
+      case Some(stagedBuckets) => require(stagedBuckets == a.buckets,
         s"staged layout at $staging was built with --buckets $stagedBuckets " +
           s"but this run passed --buckets ${a.buckets}; pass the original value " +
           "or --restage to rebuild the layout")
-    } else
-      System.err.println(
+      case None => System.err.println(
         s"[graft] $staging predates bucket-count metadata ($BucketCountFile missing) — " +
           s"cannot verify --buckets ${a.buckets} matches the staged layout; --restage to record it")
+    }
 
     def process(in: DataFrame): DataFrame =
       Validator.validate(CodeTable.codeSchema,

@@ -79,7 +79,13 @@ object Components {
     case (a: Int, b: Int) => a < b
     case (a: Short, b: Short) => a < b
     case (a: Byte, b: Byte) => a < b
-    case (a: String, b: String) => a < b
+    // UTF8String byte order, NOT Java compareTo: Spark's least()/min() in the
+    // distributed rounds compare UTF-8 bytes (code-point order), and Java's
+    // UTF-16 unit order disagrees for supplementary chars vs U+E000..U+FFFF —
+    // the two paths must pick the same component minimum for every input
+    case (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     case _ => throw new IllegalArgumentException(s"unorderable id type: ${x.getClass}")
   }
 

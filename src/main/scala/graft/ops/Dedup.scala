@@ -481,7 +481,12 @@ object Dedup {
       n: Int = 5, minCount: Long = 2L): DataFrame = {
     val scrubbed = duplicatedSpans(df, idCol, textCol, n, minCount)
       .select(col("id").as(idCol), col("scrubbed").as(textCol))
-    df.drop(textCol).join(scrubbed, Seq(idCol))
+    // left join + coalesce, never inner: a null-id row can't equi-join back
+    // to its scrub output and an inner join would silently DELETE the
+    // document — null ids come back as "" instead, the same convention as
+    // scrubCommonLines
+    df.drop(textCol).join(scrubbed, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
   // --------------------------------------------------------------------------
@@ -626,8 +631,9 @@ object Dedup {
   def deltaNearDups(
       newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
       p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
-    deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket).pairs
+      maxBucket: Int = DefaultMaxBucket, broadcastNewKeys: Boolean = true): DataFrame =
+    deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket,
+      broadcastNewKeys).pairs
 
   /** The delta documents that SURVIVE dedup against the indexed corpus:
     * old documents always win (a new doc near an old one is dropped); among
@@ -638,8 +644,9 @@ object Dedup {
   def deltaDedup(
       newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
       p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket)
+      maxBucket: Int = DefaultMaxBucket, broadcastNewKeys: Boolean = true): DataFrame = {
+    val pairs = deltaNearDupsAudited(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket,
+      broadcastNewKeys)
       .pairs.localCheckpoint(true) // read by CC rounds AND the tag join below
     newDocs.join(deltaLosers(pairs).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -663,11 +670,14 @@ object Dedup {
       .select(col("id"))
   }
 
-  /** [[deltaDedup]] against a PERSISTED index directory (loads sigs+params). */
+  /** [[deltaDedup]] against a PERSISTED index directory (loads sigs+params).
+    * `broadcastNewKeys = false` for deltas too large to broadcast their
+    * bucket-key set (the prune becomes a shuffle semi-join). */
   def deltaDedupIndexed(
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket,
+      broadcastNewKeys: Boolean = true): DataFrame = {
     val (oldSigs, p) = minhashIndexLoad(newDocs.sparkSession, indexDir)
-    deltaDedup(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket)
+    deltaDedup(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket, broadcastNewKeys)
   }
 }

@@ -117,13 +117,21 @@ object HeaderMediaCodec extends MediaCodec {
   def decodeImageMeta(media: Column, meta: Column): Column = {
     val magic = hex(substring(media, 1, 2))
     val isBmp = magic === lit("424D") && octet_length(media) >= 26
-    // netpbm magics P1..P6 = 0x50 0x31..0x36; header is pure ASCII, so the
-    // 64-byte UTF-8 decode is safe on the branch that uses it
+    // ISO-8859-1, NOT UTF-8: the 64-byte window reaches into binary pixel
+    // data on P4-P6, and Spark 4's decode() THROWS on malformed UTF-8
+    // (MALFORMED_CHARACTER_CODING) instead of replacing. Latin-1 maps every
+    // byte to a char, and the header tokens the regex reads are ASCII either
+    // way.
     val isPpm = magic.isin((1 to 6).map(d => f"503$d"): _*)
-    val head = decode(substring(media, 1, 64), "UTF-8")
-    val w = when(isBmp, leUInt32(media, 19))
+    val head = decode(substring(media, 1, 64), "ISO-8859-1")
+    // signed32 on BOTH dims: corrupt headers (e.g. FFFFFFFF) must parse to
+    // the same wrapped int the row-level ByteBuffer.getInt yields, never hit
+    // the ANSI cast-to-int overflow; abs() mirrors java's Math.abs wrap at
+    // Int.MinValue for the same reason
+    val hRaw = signed32(leUInt32(media, 23))
+    val w = when(isBmp, signed32(leUInt32(media, 19)))
       .when(isPpm, nullif(regexp_extract(head, PpmHeader, 1), lit("")).cast(LongType))
-    val h = when(isBmp, abs(signed32(leUInt32(media, 23))))
+    val h = when(isBmp, when(hRaw === -2147483648L, hRaw).otherwise(abs(hRaw)))
       .when(isPpm, nullif(regexp_extract(head, PpmHeader, 2), lit("")).cast(LongType))
     struct(
       meta.getField("media_type").as("media_type"),

@@ -158,13 +158,14 @@ object StreamingDedup {
   def deltaDedupStream(
       stream: DataFrame, idCol: String, textCol: String, indexDir: String,
       threshold: Double = 0.8,
-      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket)(
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket,
+      broadcastNewKeys: Boolean = true)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val b = batch.persist()
       try {
         val kept = graft.ops.Dedup
-          .deltaDedupIndexed(b, idCol, textCol, indexDir, threshold, maxBucket)
+          .deltaDedupIndexed(b, idCol, textCol, indexDir, threshold, maxBucket, broadcastNewKeys)
           .persist() // read by sink AND the signature append
         try {
           sink(kept, batchId)

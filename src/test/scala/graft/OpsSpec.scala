@@ -563,10 +563,19 @@ class OpsSpec extends SparkSpec {
     bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
     val bb = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(18, 640); bb.putInt(22, -480)
-    // P6 PPM: ASCII header then (fake) pixel bytes
-    val ppm = "P6\n320 240\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(0x7f.toByte)
+    // P6 PPM: ASCII header then BINARY pixel bytes (0x80-0xFF sequences that
+    // are malformed UTF-8 — real images hit this; the column hook must decode
+    // latin-1, since Spark 4's decode() THROWS on malformed UTF-8)
+    val ppm = "P6\n320 240\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0xff.toByte, 0xc0.toByte) ++ Array.fill(9)(0xfe.toByte)
+    // corrupt BMP: width bytes FFFFFFFF must wrap like ByteBuffer.getInt,
+    // never crash the ANSI cast to int
+    val badBmp = new Array[Byte](54)
+    badBmp(0) = 'B'.toByte; badBmp(1) = 'M'.toByte
+    java.nio.ByteBuffer.wrap(badBmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, -1).putInt(22, 77)
     val junk = Array[Byte](1, 2, 3, 4, 5)
-    val df = Seq((1L, bmp), (2L, ppm), (3L, junk)).toDF("doc_id", "payload")
+    val df = Seq((1L, bmp), (2L, ppm), (3L, junk), (4L, badBmp)).toDF("doc_id", "payload")
     val ingested = Multimodal.ingest(df, "doc_id", $"payload", "image")
     // column hook: the parse compiles to Catalyst expressions
     val cols = ingested.select($"doc_id",
@@ -576,12 +585,14 @@ class OpsSpec extends SparkSpec {
     assert(cols(1L) === (Some(640), Some(480)))
     assert(cols(2L) === (Some(320), Some(240)))
     assert(cols(3L) === (None, None)) // unknown format: null, never invented
+    assert(cols(4L) === (Some(-1), Some(77))) // wrapped like getInt, no ANSI crash
     // batched (mapPartitions) hook parses the same bytes row-level
     val batched = Multimodal.decodeBatched(ingested, "doc_id", "media", 4, 2, HeaderMediaCodec)
       .collect().map(d => d.id -> (d.width, d.height)).toMap
     assert(batched(1L) === ((640, 480)))
     assert(batched(2L) === ((320, 240)))
     assert(batched(3L) === ((0, 0)))
+    assert(batched(4L) === ((-1, 77))) // column and row hooks agree on corrupt headers
     // meta schema is unchanged by the real codec (field name/type parity with
     // ingest — nullability differs only because ingest's media_type literal
     // is provably non-null)
@@ -884,6 +895,16 @@ class OpsSpec extends SparkSpec {
       Components.connectedComponents(chain, "id_a", "id_b", maxRounds = 1,
         smallGraphEdges = 0L)
     }
+    // UTF-16 vs UTF-8 ordering divergence: U+10000 precedes U+FFFD in Java's
+    // compareTo but follows it in UTF-8 byte order (what Spark's min() uses);
+    // the driver path must agree with the distributed rounds
+    val weird = Seq(("𐀀", "�")).toDF("id_a", "id_b")
+    val drv = Components.connectedComponents(weird, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val dist = Components.connectedComponents(weird, "id_a", "id_b", smallGraphEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(drv === dist)
+    assert(drv.values.toSet === Set("�")) // UTF-8 byte order: U+FFFD < U+10000
   }
 
   test("near-dup groups + dedupByPairs: planted dup clusters collapse to one representative") {
@@ -977,6 +998,14 @@ class OpsSpec extends SparkSpec {
     // null text: empty doc — its whole-text gram is "" which only collides
     // with other empty docs (none here)
     assert(out(7L) === ((7L, 0L, 0L, 0L, "")))
+    // in-place wrapper keeps null-id rows (as "") — an inner join back would
+    // silently delete them
+    val withNullId = Seq((java.lang.Long.valueOf(8L), "some plain text here"),
+      (null.asInstanceOf[java.lang.Long], "floating fragment")).toDF("doc_id", "text")
+    val scr = Dedup.scrubDuplicatedSpans(withNullId, "doc_id", "text", n = 8)
+    assert(scr.count() === 2)
+    assert(scr.filter($"doc_id".isNull).select("text").as[String].head === "")
+    assert(scr.filter($"doc_id" === 8L).select("text").as[String].head === "some plain text here")
   }
 
   test("delta dedup against a signature index: old wins, new-new keeps min id, equals brute force; index round-trips") {

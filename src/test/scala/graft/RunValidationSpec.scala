@@ -74,5 +74,17 @@ class RunValidationSpec extends SparkSpec {
     val j4 = RunValidation.run(spark, a.copy(buckets = 16, restage = true,
       work = s"$root/work16"))
     assert(j4.contains(""""processed_buckets":16"""), j4)
+
+    // restage guards over an EXISTING manifest: a changed --buckets would
+    // leave done rows masking re-numbered buckets, and a non-incremental
+    // restage would skip the re-staged content entirely — both refuse
+    val rsErr = intercept[IllegalArgumentException] {
+      RunValidation.run(spark, a.copy(buckets = 16, restage = true))
+    }
+    assert(rsErr.getMessage.contains("fresh --work"), rsErr.getMessage)
+    val niErr = intercept[IllegalArgumentException] {
+      RunValidation.run(spark, a.copy(restage = true, incremental = false))
+    }
+    assert(niErr.getMessage.contains("--incremental"), niErr.getMessage)
   }
 }

@@ -408,7 +408,10 @@ object Bench {
             concat(col("text"), lit(" recrawl")).as("text"))
         val p = Dedup.MinhashIndexParams()
         val idxDir = s"$root/mhidx"
-        Dedup.minhashIndexBuild(docs, "doc_id", "text", idxDir, p) // untimed: amortized ingest
+        // build is excluded from the full-vs-delta comparison (it is ingest,
+        // amortized across every later delta) but REPORTED so the
+        // amortization claim is auditable
+        val buildSec = time(Dedup.minhashIndexBuild(docs, "doc_id", "text", idxDir, p))
         val (oldSigs, _) = Dedup.minhashIndexLoad(s, idxDir)
         val ddReps = sys.env.getOrElse("SPARK_GRAFT_INC_REPS", "2").toInt
         val union = docs.unionAll(delta)
@@ -421,7 +424,8 @@ object Bench {
           time(Dedup.deltaNearDups(delta, "doc_id", "text", oldSigs, p, threshold = 0.8)
             .write.mode("overwrite").format("noop").save())
         }.min
-        f"""{"reps":$ddReps,"corpus_mult":$mult,"full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
+        f"""{"reps":$ddReps,"corpus_mult":$mult,"index_build_sec":$buildSec%.3f,""" +
+          f""""full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
           f""""speedup":${fullSec / deltaSec}%.1f}"""
       } finally s.stop()
     }

@@ -564,6 +564,28 @@ object Dedup {
     minhashSignatures(docs, idCol, textCol, p).write.mode("append").parquet(s"$indexDir/sigs")
   }
 
+  /** Compact a signature index to the ids in `keepIds`: the index is
+    * APPEND-ONLY, so documents later dropped from the corpus leave stale
+    * signatures that would still WIN against future deltas (a new doc
+    * near-dups a deleted one and is wrongly discarded). Run this after any
+    * corpus deletion with the surviving id set. Writes the kept signatures
+    * to a sibling directory and swaps it in (an in-place overwrite would
+    * read its own input mid-write); the params sidecar is untouched. */
+  def minhashIndexCompact(
+      keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
+    val spark = keepIds.sparkSession
+    val (sigs, _) = minhashIndexLoad(spark, indexDir)
+    val tmp = s"$indexDir/sigs_compacting"
+    sigs.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+    fs.delete(live, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"compact swap failed: could not rename $tmp to $live")
+  }
+
   /** Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT, between `newDocs`
     * and an already-deduped corpus represented ONLY by its signature frame
     * `oldSigs` (id, sig): (id_a, id_b, matches, a_is_new, b_is_new) where

@@ -730,6 +730,27 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** Compact a persisted IVF index to the ids in `keepIds` — the
+    * cell-partitioned analogue of [[graft.ops.Dedup.minhashIndexCompact]]
+    * (appends are append-only; deleted corpus vectors would otherwise keep
+    * winning delta dedups). Rewrites the kept rows cell-partitioned into a
+    * sibling directory and swaps; centroids are untouched (compaction never
+    * re-trains the quantizer). */
+  def ivfIndexCompact(
+      keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
+    val spark = keepIds.sparkSession
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val tmp = s"$indexDir/cells_compacting"
+    cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    fs.delete(live, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"compact swap failed: could not rename $tmp to $live")
+  }
+
   /** [[cosineNearDupPairsLshAudited]] without the audit handle. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,

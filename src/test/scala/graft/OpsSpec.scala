@@ -429,6 +429,14 @@ class OpsSpec extends SparkSpec {
       Seq((960L, synth)).toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
       threshold = 0.9).select("vec_id").as[Long].collect().toSet
     assert(kept2 === Set.empty[Long]) // loses to the appended 950
+    // compaction: drop 950 from the index => a re-sent twin survives again
+    // (stale vectors can no longer win); centroids untouched
+    Similarity.ivfIndexCompact(old.select($"vec_id"), "vec_id", idx)
+    assert(Similarity.ivfLoadCentroids(spark, idx) === cents)
+    val kept3 = Similarity.semanticDeltaDedupIndexed(
+      Seq((961L, synth)).toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
+      threshold = 0.9).select("vec_id").as[Long].collect().toSet
+    assert(kept3 === Set(961L))
   }
 
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
@@ -1066,6 +1074,23 @@ class OpsSpec extends SparkSpec {
     Dedup.minhashIndexAppend(delta.join(keptIdx.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
       "doc_id", "text", idx)
     assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === before + keptIdx.size)
+    // compaction: drop a corpus doc from the index => a new near-copy of it
+    // now SURVIVES (stale signatures can no longer win); params untouched.
+    // Pick a doc whose earlier near-copy paired ONLY with its source (some
+    // docs also near-dup planted partners, which would still win).
+    val partnersOf = got.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val someOld = expectedOldNew.collect {
+      case (src, cp) if partnersOf(cp) == Set(src) => src
+    }.min
+    Dedup.minhashIndexCompact(
+      old.filter($"doc_id" =!= someOld).select($"doc_id"), "doc_id", idx)
+    assert(Dedup.minhashIndexLoad(spark, idx)._2 === p) // params survive the swap
+    val reDelta = old.filter($"doc_id" === someOld)
+      .select(($"doc_id" + 40000).as("doc_id"), concat($"text", lit(" zzzz")).as("text"))
+    val keptAfter = Dedup.deltaDedupIndexed(reDelta, "doc_id", "text", idx, threshold = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptAfter === Set(someOld + 40000))
     // portable signatures: different values, same planted-pair recall
     val pp = p.copy(portable = true)
     val gotP = Dedup.deltaNearDups(delta, "doc_id", "text",

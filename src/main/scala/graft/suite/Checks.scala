@@ -74,6 +74,19 @@ object Checks {
       .filter(col("dup_count") > 1)
   }
 
+  /** Uniqueness over an input ALREADY distributed by `keys` — a table staged
+    * with [[graft.io.BucketedStage]] (or any frame whose partitioning
+    * Catalyst knows clusters on the keys): one direct groupBy that satisfies
+    * its distribution off the scan, so the whole check runs with NO shuffle
+    * (PlanSpec pins the exchange-free plan). Same output shape and values as
+    * [[uniqueness]]; on a NON-bucketed input it still returns the right
+    * answer but shuffles the full wide key tuples — prefer [[uniqueness]]'s
+    * 8-byte-hash pre-screen there. */
+  def uniquenessPrePartitioned(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
   /** Violation-row flavor: every row whose key tuple is duplicated, joined back
     * so the output carries the north_star (keys, constraint_id, reason) shape. */
   def uniquenessViolations(df: DataFrame, keys: Seq[String]): DataFrame =

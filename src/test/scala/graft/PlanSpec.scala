@@ -218,6 +218,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("span_scrub"), s"scrub must be the native expression:\n$p")
   }
 
+  test("bucketed staging: uniqueness over the bucketed table plans with NO shuffle; values match the hash-prescreen path") {
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    // planted duplicates (id%101 copies) so the value-parity check is non-vacuous
+    val dupTable = CodeTable.withPlantedDuplicates(table, 2000)
+    graft.io.BucketedStage.stage(
+      dupTable, Seq("repo", "path", "commit"), buckets = 8, table = "graft_bucketed_plan",
+      path = Some(dir))
+    try {
+      val t = spark.table("graft_bucketed_plan")
+      val u = Checks.uniquenessPrePartitioned(t, Seq("repo", "path", "commit"))
+      val p = plan(u)
+      assert(!p.contains("Exchange"),
+        s"keyed check over the bucketed stage must not shuffle:\n$p")
+      // exact same duplicate set as the general-input path
+      val got = u.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val ref = Checks.uniqueness(dupTable, Seq("repo", "path", "commit"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got === ref && got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_plan")
+  }
+
   test("semantic delta dedup: the index read partition-prunes to the delta's cells") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = Files.createTempDirectory("graft-sem-delta-plan").toString

@@ -114,15 +114,25 @@ object Checks {
       /** Set when `dim` is ALREADY distinct on pkCols (a curated key table,
         * a persisted `.distinct()`): skips the redundant dedup shuffle that
         * would otherwise run on every check invocation. */
-      dimIsDistinct: Boolean = false): DataFrame = {
+      dimIsDistinct: Boolean = false,
+      /** Default true: null-safe key equality (`<=>` — a null fk matches a
+        * null pk). Set FALSE for NOT-NULL key columns over co-bucketed
+        * [[graft.io.BucketedStage]] tables: `<=>` rewrites the join keys to
+        * coalesce/isnull expressions, which defeats the bucketing and
+        * reintroduces both exchanges; with plain `===` the anti-join consumes
+        * the scans' bucketing and the check runs shuffle-free (identical
+        * semantics when the keys are non-null — a null fk is then always
+        * reported dangling). */
+      nullSafeKeys: Boolean = true): DataFrame = {
     require(fkCols.size == pkCols.size)
+    def eq(l: Column, r: Column): Column = if (nullSafeKeys) l <=> r else l === r
     val dimKeys =
       if (dimIsDistinct) dim.select(pkCols.map(col): _*)
       else dim.select(pkCols.map(col): _*).distinct()
     val outKeys = if (keyCols.nonEmpty) keyCols else fkCols
     val dangling =
       if (broadcastDim) {
-        val cond = fkCols.zip(pkCols).map { case (f, p) => child(f) <=> dimKeys(p) }.reduce(_ && _)
+        val cond = fkCols.zip(pkCols).map { case (f, p) => eq(child(f), dimKeys(p)) }.reduce(_ && _)
         child.join(broadcast(dimKeys), cond, "left_anti")
       } else if (saltBuckets > 1) {
         // deterministic per-row salt; dim replicated saltBuckets times. The
@@ -133,11 +143,11 @@ object Checks {
           pmod(xxhash64(outKeys.map(col): _*), lit(saltBuckets)).cast(IntegerType))
         val saltedDim = dimKeys.withColumn("__salt",
           explode(sequence(lit(0), lit(saltBuckets - 1)))).hint("shuffle_merge")
-        val cond = (fkCols.zip(pkCols).map { case (f, p) => saltedChild(f) <=> saltedDim(p) } :+
+        val cond = (fkCols.zip(pkCols).map { case (f, p) => eq(saltedChild(f), saltedDim(p)) } :+
           (saltedChild("__salt") === saltedDim("__salt"))).reduce(_ && _)
         saltedChild.join(saltedDim, cond, "left_anti").drop("__salt")
       } else {
-        val cond = fkCols.zip(pkCols).map { case (f, p) => child(f) <=> dimKeys(p) }.reduce(_ && _)
+        val cond = fkCols.zip(pkCols).map { case (f, p) => eq(child(f), dimKeys(p)) }.reduce(_ && _)
         child.join(dimKeys, cond, "left_anti")
       }
     dangling.select(outKeys.map(col) :+

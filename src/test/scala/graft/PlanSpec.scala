@@ -236,7 +236,36 @@ class PlanSpec extends SparkSpec {
       val ref = Checks.uniqueness(dupTable, Seq("repo", "path", "commit"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
       assert(got === ref && got.nonEmpty)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_plan")
+      // co-bucketed referential: child and dim staged bucketed on the SAME
+      // join key => the sort-merge anti-join consumes both scans' bucketing
+      // and the whole check is exchange-free too (broadcast disabled: at
+      // 10^12 rows neither side broadcasts — that is what this path is for)
+      graft.io.BucketedStage.stage(dupTable, Seq("repo", "commit"), buckets = 8,
+        table = "graft_bucketed_rc", path = Some(Files.createTempDirectory("graft-brc").toString))
+      graft.io.BucketedStage.stage(CodeTable.dimRepoCommits(table), Seq("repo", "commit"),
+        buckets = 8, table = "graft_bucketed_dim",
+        path = Some(Files.createTempDirectory("graft-bdim").toString))
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val v = Checks.referentialViolations(
+          spark.table("graft_bucketed_rc"), Seq("repo", "commit"),
+          spark.table("graft_bucketed_dim"), Seq("repo", "commit"),
+          broadcastDim = false, saltBuckets = 0, keyCols = Seq("repo", "path"),
+          dimIsDistinct = true, nullSafeKeys = false)
+        val pv = plan(v)
+        assert(!pv.contains("Exchange"),
+          s"co-bucketed referential must not shuffle:\n$pv")
+        val nRef = Checks.referentialViolations(dupTable, Seq("repo", "commit"),
+          CodeTable.dimRepoCommits(table), Seq("repo", "commit"),
+          broadcastDim = true, keyCols = Seq("repo", "path")).count()
+        assert(v.count() === nRef && nRef > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_plan")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_rc")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_dim")
+    }
   }
 
   test("semantic delta dedup: the index read partition-prunes to the delta's cells") {

@@ -545,9 +545,11 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_params")
   }
 
-  /** Load a signature index: (sigs (id, sig), params). */
+  /** Load a signature index: (sigs (id, sig), params). Completes an
+    * interrupted [[minhashIndexCompact]] swap first (see [[completeSwap]]). */
   def minhashIndexLoad(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): (DataFrame, MinhashIndexParams) = {
+    completeSwap(spark, s"$indexDir/sigs", s"$indexDir/sigs_compacting")
     val m = spark.read.parquet(s"$indexDir/_params").collect().head
     val p = MinhashIndexParams(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Long]("seed"), m.getAs[Boolean]("portable"))
@@ -584,6 +586,26 @@ object Dedup {
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
+  }
+
+  /** Crash recovery for the compact swap, applied at every index read:
+    *  - live missing + committed sibling present (a kill landed between the
+    *    delete and the rename) -> finish the rename;
+    *  - live present + sibling present (a kill landed before the delete) ->
+    *    the compact never took effect; drop the sibling.
+    * Either way the reader sees exactly one committed data directory. */
+  private[ops] def completeSwap(
+      spark: org.apache.spark.sql.SparkSession, liveDir: String, tmpDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) {
+      val tmpCommitted = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (!fs.exists(live) && tmpCommitted) {
+        require(fs.rename(tmp, live), s"swap recovery failed: $tmpDir -> $liveDir")
+        System.err.println(s"[graft] completed interrupted compact swap: $liveDir")
+      } else fs.delete(tmp, true) // uncommitted, or the live dir still stands
+    }
   }
 
   /** Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT, between `newDocs`

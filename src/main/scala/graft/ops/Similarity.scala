@@ -701,6 +701,7 @@ object Similarity {
     // recomputing it would re-run the assignment scan per reference
     val newAssigned = ivfAssign(newDf, idCol, embCol, centroids).localCheckpoint(true)
     val cells = newAssigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val old = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(cells: _*))
       .select(col("id"), col("emb"), col("cell"))
@@ -725,6 +726,7 @@ object Similarity {
     * their cell partitions. */
   def ivfIndexAppend(
       df: DataFrame, idCol: String, embCol: String, indexDir: String): Unit = {
+    Dedup.completeSwap(df.sparkSession, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val centroids = ivfLoadCentroids(df.sparkSession, indexDir)
     ivfAssign(df, idCol, embCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
@@ -739,6 +741,7 @@ object Similarity {
   def ivfIndexCompact(
       keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
     val spark = keepIds.sparkSession
+    Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val tmp = s"$indexDir/cells_compacting"
     cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")

@@ -1091,6 +1091,18 @@ class OpsSpec extends SparkSpec {
     val keptAfter = Dedup.deltaDedupIndexed(reDelta, "doc_id", "text", idx, threshold = 0.8)
       .select($"doc_id").as[Long].collect().toSet
     assert(keptAfter === Set(someOld + 40000))
+    // crash-safe swap: a kill between delete(live) and rename leaves only
+    // the committed sibling — the next load completes the swap; a kill
+    // BEFORE the delete (both dirs present) keeps live and drops the sibling
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    val nBefore = Dedup.minhashIndexLoad(spark, idx)._1.count()
+    assert(fs.rename(pth(s"$idx/sigs"), pth(s"$idx/sigs_compacting")))
+    assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === nBefore)
+    fs.mkdirs(pth(s"$idx/sigs_compacting")) // uncommitted leftover (no _SUCCESS)
+    assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === nBefore)
+    assert(!fs.exists(pth(s"$idx/sigs_compacting")))
     // portable signatures: different values, same planted-pair recall
     val pp = p.copy(portable = true)
     val gotP = Dedup.deltaNearDups(delta, "doc_id", "text",

@@ -582,10 +582,40 @@ object Dedup {
       .write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeCommitMarker(fs, tmp)
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
+  }
+
+  /** Graft-owned commit marker for the compact swap. Recovery must NOT key
+    * off Hadoop's `_SUCCESS`: deployments commonly disable it on object
+    * stores (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and a
+    * crash between delete(live) and rename would then leave a fully-written
+    * sibling that recovery DELETES — permanently losing the index. This
+    * marker is written by graft itself after the compact write returns, so
+    * its presence is independent of committer configuration. */
+  private[graft] val CommitMarker = "_GRAFT_COMMITTED"
+
+  private[graft] def writeCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
+
+  /** Unpersist every RDD that became persistent after `beforeIds` was
+    * snapshotted. Eager `localCheckpoint(true)` blocks are NOT in the
+    * CacheManager — `Dataset.unpersist` can't reach them, and the
+    * ContextCleaner only frees them when the driver GCs the frame references.
+    * Callers that loop (streaming micro-batches, snapshot loops) should
+    * snapshot `sc.getPersistentRDDs.keySet` before the dedup call and release
+    * here once the batch's results are fully materialized — the checkpointed
+    * data is unrecoverable afterwards (lineage was truncated). Only safe when
+    * no CONCURRENT job is creating persistent RDDs on the same session. */
+  private[graft] def releaseCheckpointsSince(
+      sc: org.apache.spark.SparkContext, beforeIds: scala.collection.Set[Int]): Unit = {
+    val current = sc.getPersistentRDDs
+    (current.keySet -- beforeIds).foreach(id =>
+      current.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Crash recovery for the compact swap, applied at every index read:
@@ -593,14 +623,16 @@ object Dedup {
     *    delete and the rename) -> finish the rename;
     *  - live present + sibling present (a kill landed before the delete) ->
     *    the compact never took effect; drop the sibling.
-    * Either way the reader sees exactly one committed data directory. */
+    * Either way the reader sees exactly one committed data directory.
+    * "Committed" means graft's own [[CommitMarker]], not Hadoop's `_SUCCESS`
+    * (which object-store deployments often disable — see [[CommitMarker]]). */
   private[ops] def completeSwap(
       spark: org.apache.spark.sql.SparkSession, liveDir: String, tmpDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) {
-      val tmpCommitted = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      val tmpCommitted = fs.exists(new org.apache.hadoop.fs.Path(tmp, CommitMarker))
       if (!fs.exists(live) && tmpCommitted) {
         require(fs.rename(tmp, live), s"swap recovery failed: $tmpDir -> $liveDir")
         System.err.println(s"[graft] completed interrupted compact swap: $liveDir")

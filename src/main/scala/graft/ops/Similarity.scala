@@ -748,6 +748,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.writeCommitMarker(fs, tmp)
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),

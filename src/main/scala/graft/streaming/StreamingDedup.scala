@@ -154,7 +154,17 @@ object StreamingDedup {
     *
     * `sink` must materialize its DataFrame before returning (write/collect);
     * the survivor frame is persisted across `sink` and the signature append
-    * and unpersisted when both finish. */
+    * and unpersisted when both finish.
+    *
+    * Storage hygiene: deltaDedupIndexed creates eager localCheckpoint blocks
+    * (delta signatures + candidate pairs) that the ContextCleaner would only
+    * release when the driver GCs the frame references — a long-running stream
+    * would accumulate executor storage blocks between GC cycles. Each batch
+    * therefore snapshots the persistent-RDD id set before the dedup and
+    * explicitly unpersists every id that appeared, once the batch is done
+    * (foreachBatch runs batches sequentially, so the diff only ever contains
+    * this batch's blocks — do not run concurrent checkpoint-creating jobs on
+    * the same session while the stream is active). */
   def deltaDedupStream(
       stream: DataFrame, idCol: String, textCol: String, indexDir: String,
       threshold: Double = 0.8,
@@ -162,6 +172,8 @@ object StreamingDedup {
       broadcastNewKeys: Boolean = true)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sc = batch.sparkSession.sparkContext
+      val rddsBefore = sc.getPersistentRDDs.keySet
       val b = batch.persist()
       try {
         val kept = graft.ops.Dedup
@@ -171,6 +183,9 @@ object StreamingDedup {
           sink(kept, batchId)
           graft.ops.Dedup.minhashIndexAppend(kept, idCol, textCol, indexDir)
         } finally kept.unpersist()
-      } finally b.unpersist()
+      } finally {
+        b.unpersist()
+        graft.ops.Dedup.releaseCheckpointsSince(sc, rddsBefore)
+      }
     }
 }

@@ -20,6 +20,13 @@ object Checks {
     */
   val NullCategoryKey: String = "\u0000null"
 
+  /** Deterministic composite-key string over possibly-null columns. Each
+    * segment is coalesced to [[NullCategoryKey]] BEFORE concat_ws — concat_ws
+    * silently SKIPS null arguments (no separator emitted), which would merge
+    * distinct tuples such as ('a', null) and (null, 'a') into the same key. */
+  private[graft] def compositeKey(cols: Seq[String]): Column =
+    concat_ws("|", cols.map(c => coalesce(col(c).cast(StringType), lit(NullCategoryKey))): _*)
+
   // --------------------------------------------------------------------------
   // N4: column-stats profiling — ONE aggregation pass over the table computes
   // count / null-rate / approx-distinct (HyperLogLog++) / min / max for every
@@ -285,11 +292,13 @@ object Checks {
     * total_rows), floored at 1 — the number of salt buckets that splits this
     * key to ~one shuffle partition's fair share; keys with salt_factor 1 need
     * no salting. Rank breaks count ties by key string ascending, so the
-    * report is deterministic. Null key values profile as the empty string
-    * segment of the concatenated key. */
+    * report is deterministic. Null key values profile as the
+    * [[NullCategoryKey]] segment of the concatenated key (coalesced BEFORE
+    * concat_ws, which would otherwise drop null segments without a separator
+    * and merge distinct tuples like ('a', null) and (null, 'a')). */
   def keySkewProfile(
       df: DataFrame, keyCols: Seq[String], topK: Int, parallelism: Int): DataFrame = {
-    val keyStr = concat_ws("|", keyCols.map(c => col(c).cast(StringType)): _*)
+    val keyStr = compositeKey(keyCols)
     val counts = df.groupBy(keyStr.as("key")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).cast(LongType).as("total_rows"),
@@ -329,13 +338,14 @@ object Checks {
     * (key, grp_rows, distinct_deps, majority_dep, majority_cnt,
     * minority_rows). `minority_rows` (= grp_rows - majority_cnt) is the repair
     * cost: rows that must change for the dependency to hold. Null dep values
-    * count as the [[NullCategoryKey]] category; null det segments profile as
-    * the empty string segment of the concatenated key (same convention as
-    * [[keySkewProfile]]). Groups that satisfy the dependency are filtered out,
+    * count as the [[NullCategoryKey]] category; null det segments are coalesced
+    * to [[NullCategoryKey]] before concatenation (via [[compositeKey]], same
+    * convention as [[keySkewProfile]]), so distinct multi-column det tuples
+    * never collide. Groups that satisfy the dependency are filtered out,
     * so output ∝ violations, not table size. */
   def functionalDependencyViolations(
       df: DataFrame, detCols: Seq[String], depCol: String): DataFrame = {
-    val keyStr = concat_ws("|", detCols.map(c => col(c).cast(StringType)): _*)
+    val keyStr = compositeKey(detCols)
     val depStr = coalesce(col(depCol).cast(StringType), lit(NullCategoryKey))
     val pairCounts = df
       .groupBy(keyStr.as("key"), depStr.as("dep"))

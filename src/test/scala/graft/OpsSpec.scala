@@ -1098,9 +1098,12 @@ class OpsSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def pth(s: String) = new org.apache.hadoop.fs.Path(s)
     val nBefore = Dedup.minhashIndexLoad(spark, idx)._1.count()
+    // the compact above left graft's own commit marker in the live dir, so
+    // the renamed sibling is "committed" even where _SUCCESS is disabled
+    assert(fs.exists(pth(s"$idx/sigs/${Dedup.CommitMarker}")))
     assert(fs.rename(pth(s"$idx/sigs"), pth(s"$idx/sigs_compacting")))
     assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === nBefore)
-    fs.mkdirs(pth(s"$idx/sigs_compacting")) // uncommitted leftover (no _SUCCESS)
+    fs.mkdirs(pth(s"$idx/sigs_compacting")) // uncommitted leftover (no marker)
     assert(Dedup.minhashIndexLoad(spark, idx)._1.count() === nBefore)
     assert(!fs.exists(pth(s"$idx/sigs_compacting")))
     // portable signatures: different values, same planted-pair recall

@@ -192,6 +192,7 @@ class StreamingSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx, p)
     val docA = (1 to 30).map(i => s"a$i").mkString(" ")
     val docB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val q = graft.streaming.StreamingDedup.deltaDedupStream(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.8) {
@@ -214,6 +215,10 @@ class StreamingSpec extends SparkSpec {
       // the index holds exactly the survivors' signatures
       assert(Dedup.minhashIndexLoad(spark, idx)._1.select("id").as[Long].collect().toSet
         === Set(10L, 20L))
+      // storage hygiene: each batch released its localCheckpoint blocks —
+      // a long-running stream must not accumulate them until driver GC
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+      assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
     } finally q.stop()
   }
 

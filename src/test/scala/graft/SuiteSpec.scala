@@ -146,6 +146,22 @@ class SuiteSpec extends SparkSpec {
     assert(Checks.functionalDependencyViolations(df.na.drop(), Seq("repo", "lang"), "lang").isEmpty)
   }
 
+  test("N13/N12 composite keys: null det segments do NOT collide across positions") {
+    // ('a', null) vs (null, 'a') — concat_ws alone would key both to "a".
+    // Each tuple's dep is consistent, so a collision would FABRICATE a
+    // violation ({x, y} under one merged key); distinct keys report none.
+    val df = Seq(
+      (Some("a"), None: Option[String], "x"), (Some("a"), None, "x"),
+      (None: Option[String], Some("a"), "y"), (None, Some("a"), "y"))
+      .toDF("c1", "c2", "lang")
+    assert(Checks.functionalDependencyViolations(df, Seq("c1", "c2"), "lang").isEmpty)
+    // and the skew profile sees TWO distinct keys, not one merged mega-key
+    val skew = Checks.keySkewProfile(df, Seq("c1", "c2"), topK = 5, parallelism = 4)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(skew.head._7 === 2L)          // distinct_keys
+    assert(skew.forall(_._3 === 2L))     // each key counts its own 2 rows
+  }
+
   test("N4b quartiles: exact x4 values on a known distribution; approx within sketch error") {
     // 0..99 has known quartiles 24.75 / 49.5 / 74.25 -> x4 = 99 / 198 / 297
     val df = spark.range(100).toDF("v")

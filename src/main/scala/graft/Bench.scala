@@ -420,12 +420,36 @@ object Bench {
             numHashes = p.numHashes, bands = p.bands, threshold = 0.8, seed = p.seed)
             .write.mode("overwrite").format("noop").save())
         }.min
+        // release each rep's eager-checkpoint blocks so reps don't compound
+        def timedReleased(body: => Unit): Double = {
+          val before = s.sparkContext.getPersistentRDDs.keySet
+          try time(body)
+          finally Dedup.releaseCheckpointsSince(s.sparkContext, before)
+        }
+        // the production path: candidates from the persisted THIN band
+        // layout (no re-banding of the corpus, partition-pruned buckets)
         val deltaSec = (1 to ddReps).map { _ =>
-          time(Dedup.deltaNearDups(delta, "doc_id", "text", oldSigs, p, threshold = 0.8)
+          timedReleased(Dedup.deltaNearDupsIndexed(delta, "doc_id", "text", idxDir, threshold = 0.8)
+            .write.mode("overwrite").format("noop").save())
+        }.min
+        // the r6 path kept for comparison: re-band the loaded signature
+        // frame every delta (scan-bounded by corpus signatures, not buckets)
+        val rebandSec = (1 to ddReps).map { _ =>
+          timedReleased(Dedup.deltaNearDups(delta, "doc_id", "text", oldSigs, p, threshold = 0.8)
+            .write.mode("overwrite").format("noop").save())
+        }.min
+        // micro-delta (0.1% of docs): the streaming/daily-patch regime where
+        // directory pruning actually skips most of the index on disk
+        val micro = docs.filter(col("doc_id") % 1000 === 0)
+          .select((col("doc_id") + 200000000L).as("doc_id"),
+            concat(col("text"), lit(" patch")).as("text"))
+        val microSec = (1 to ddReps).map { _ =>
+          timedReleased(Dedup.deltaNearDupsIndexed(micro, "doc_id", "text", idxDir, threshold = 0.8)
             .write.mode("overwrite").format("noop").save())
         }.min
         f"""{"reps":$ddReps,"corpus_mult":$mult,"index_build_sec":$buildSec%.3f,""" +
           f""""full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
+          f""""delta_reband_sec":$rebandSec%.3f,"micro_delta_sec":$microSec%.3f,""" +
           f""""speedup":${fullSec / deltaSec}%.1f}"""
       } finally s.stop()
     }

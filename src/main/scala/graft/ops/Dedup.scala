@@ -505,11 +505,18 @@ object Dedup {
   /** Parameters of a persisted MinHash signature index. `portable = true`
     * derives the raw shingle hash from md5 (any engine reproduces the
     * signature bit-for-bit — the q_dedup_delta oracle does); the default
-    * xxhash64 is faster and Spark-native. */
+    * xxhash64 is faster and Spark-native. `numBuckets` is the index's
+    * DIRECTORY fan-out: both layouts (`bands/` and `sigs/`) are
+    * hash-partitioned into this many parquet partitions so a delta's reads
+    * can prune whole directories; micro-deltas (streaming batches) touch a
+    * handful of buckets, and even saturating deltas never pay more than the
+    * full (thin) scan. More buckets = finer pruning but more files per
+    * append — compaction merges them. */
   final case class MinhashIndexParams(
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
-      portable: Boolean = false) {
+      portable: Boolean = false, numBuckets: Int = 64) {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(numBuckets > 0, "numBuckets must be positive")
     def rowsPerBand: Int = numHashes / bands
     /** Integer cut for `estimated jaccard >= threshold`: matches >= this. */
     def minMatches(threshold: Double): Int = math.ceil(threshold * numHashes).toInt
@@ -530,30 +537,106 @@ object Dedup {
       when(element_at(a, i) === element_at(b, i), 1L).otherwise(0L))
       .reduce(_ + _)
 
-  /** Build (overwrite) a signature index for `df` at `indexDir`: `sigs/`
-    * parquet (id, sig) plus a one-row `_params/` sidecar. Append later deltas
-    * with [[minhashIndexAppend]]; dedup deltas with [[deltaNearDupsIndexed]]. */
+  /** (id, sig, band_idx, band_hash) band rows of a signature frame — one row
+    * per (document, band), the LSH bucketing the near-dup candidate search
+    * keys on. Shared by the raw-frame delta path (which computes these on the
+    * fly) and the persisted index (which stores them, so a delta never
+    * re-bands the corpus). */
+  private[ops] def bandRows(sigs: DataFrame, p: MinhashIndexParams): DataFrame = {
+    val banded = (0 until p.bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        xxhash64(concat_ws(",", slice(col("sig"), bi * p.rowsPerBand + 1, p.rowsPerBand)))
+          .as("band_hash"))
+    }
+    sigs.select(col("id"), col("sig"), explode(array(banded: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band_idx"), col("b.band_hash"))
+  }
+
+  private def bandBucket(p: MinhashIndexParams): Column =
+    pmod(col("band_hash"), lit(p.numBuckets.toLong)).cast(IntegerType)
+  private def idBucket(p: MinhashIndexParams): Column =
+    pmod(xxhash64(col("id")), lit(p.numBuckets.toLong)).cast(IntegerType)
+
+  /** Read schema for `sigs/` — explicit so an EMPTY index (zero partition
+    * dirs, e.g. a from-scratch stream) still reads as a typed empty frame
+    * instead of failing parquet schema inference. */
+  private def sigsSchema(idType: DataType): StructType = StructType(Seq(
+    StructField("id", idType), StructField("sig", ArrayType(LongType)),
+    StructField("id_bucket", IntegerType)))
+  private def bandsSchema(idType: DataType): StructType = StructType(Seq(
+    StructField("id", idType), StructField("band_idx", IntegerType),
+    StructField("band_hash", LongType), StructField("band_bucket", IntegerType)))
+
+  private def writeSigs(sigs: DataFrame, dir: String, p: MinhashIndexParams,
+      mode: String): Unit =
+    sigs.withColumn("id_bucket", idBucket(p))
+      .repartition(col("id_bucket")).sortWithinPartitions("id_bucket", "id")
+      .write.mode(mode).partitionBy("id_bucket").parquet(dir)
+
+  private def writeBands(bands: DataFrame, dir: String, p: MinhashIndexParams,
+      mode: String): Unit =
+    bands.select(col("id"), col("band_idx"), col("band_hash"))
+      .withColumn("band_bucket", bandBucket(p))
+      .repartition(col("band_bucket")).sortWithinPartitions("band_bucket", "band_hash")
+      .write.mode(mode).partitionBy("band_bucket").parquet(dir)
+
+  /** Build (overwrite) a signature index for `df` at `indexDir`. Layout:
+    *  - `sigs/` (id, sig), hash-partitioned by `id_bucket` — the signature
+    *    store, read partition-pruned when verifying candidate pairs;
+    *  - `bands/` (id, band_idx, band_hash), hash-partitioned by
+    *    `band_bucket` — the THIN banding store (~30 B/row, no signature
+    *    payload) the candidate search scans, partition-pruned to the delta's
+    *    band buckets. Persisting the band rows means a delta NEVER recomputes
+    *    band hashes over the corpus, and the candidate scan never drags the
+    *    ~`numHashes`×8 B signature column through the bucket join;
+    *  - `_params/` one-row sidecar (all MinhashIndexParams fields + the id
+    *    column's type, so empty layouts read back typed).
+    * Append later deltas with [[minhashIndexAppend]]; dedup deltas with
+    * [[deltaDedupIndexed]]. */
   def minhashIndexBuild(
       df: DataFrame, idCol: String, textCol: String, indexDir: String,
       p: MinhashIndexParams = MinhashIndexParams()): Unit = {
-    minhashSignatures(df, idCol, textCol, p)
-      .write.mode("overwrite").parquet(s"$indexDir/sigs")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((p.shingleN, p.numHashes, p.bands, p.seed, p.portable))
-      .toDF("shingle_n", "num_hashes", "bands", "seed", "portable")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_params")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // written twice (sigs + bands) — checkpoint so the signature scan of a
+      // possibly-expensive input lineage runs once
+      val sigs = minhashSignatures(df, idCol, textCol, p).localCheckpoint(true)
+      writeSigs(sigs, s"$indexDir/sigs", p, "overwrite")
+      writeBands(bandRows(sigs, p), s"$indexDir/bands", p, "overwrite")
+      val idType = df.schema(idCol).dataType.sql
+      Seq((p.shingleN, p.numHashes, p.bands, p.seed, p.portable, p.numBuckets, idType))
+        .toDF("shingle_n", "num_hashes", "bands", "seed", "portable", "num_buckets", "id_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_params")
+    } finally releaseCheckpointsSince(spark.sparkContext, before)
   }
 
-  /** Load a signature index: (sigs (id, sig), params). Completes an
+  /** (params, id column type) of a persisted index. */
+  private def loadIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): (MinhashIndexParams, DataType) = {
+    val m = spark.read.parquet(s"$indexDir/_params").collect().head
+    val p = MinhashIndexParams(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Long]("seed"), m.getAs[Boolean]("portable"),
+      m.getAs[Int]("num_buckets"))
+    (p, DataType.fromDDL(m.getAs[String]("id_type")))
+  }
+
+  private def recoverIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    completeSwap(spark, s"$indexDir/sigs", s"$indexDir/sigs_compacting")
+    completeSwap(spark, s"$indexDir/bands", s"$indexDir/bands_compacting")
+  }
+
+  /** Load a signature index: (sigs (id, sig), params). Completes any
     * interrupted [[minhashIndexCompact]] swap first (see [[completeSwap]]). */
   def minhashIndexLoad(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): (DataFrame, MinhashIndexParams) = {
-    completeSwap(spark, s"$indexDir/sigs", s"$indexDir/sigs_compacting")
-    val m = spark.read.parquet(s"$indexDir/_params").collect().head
-    val p = MinhashIndexParams(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"), m.getAs[Long]("seed"), m.getAs[Boolean]("portable"))
-    (spark.read.parquet(s"$indexDir/sigs"), p)
+    recoverIndex(spark, indexDir)
+    val (p, idType) = loadIndexMeta(spark, indexDir)
+    val sigs = spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
+      .select(col("id"), col("sig"))
+    (sigs, p)
   }
 
   /** Append `docs`' signatures to an existing index (call AFTER delta-dedup
@@ -562,8 +645,20 @@ object Dedup {
     * construction. */
   def minhashIndexAppend(
       docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
-    val (_, p) = minhashIndexLoad(docs.sparkSession, indexDir)
-    minhashSignatures(docs, idCol, textCol, p).write.mode("append").parquet(s"$indexDir/sigs")
+    val spark = docs.sparkSession
+    recoverIndex(spark, indexDir)
+    val (p, _) = loadIndexMeta(spark, indexDir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val sigs = minhashSignatures(docs, idCol, textCol, p).localCheckpoint(true)
+      // sigs first, bands second: a kill in between leaves sig rows no band
+      // row references — they are simply never found as candidates (bounded
+      // under-dedup for ONE delta, healed when the at-least-once redelivery
+      // re-appends; duplicate rows only duplicate candidate pairs, which
+      // dropDuplicates collapses)
+      writeSigs(sigs, s"$indexDir/sigs", p, "append")
+      writeBands(bandRows(sigs, p), s"$indexDir/bands", p, "append")
+    } finally releaseCheckpointsSince(spark.sparkContext, before)
   }
 
   /** Compact a signature index to the ids in `keepIds`: the index is
@@ -576,14 +671,36 @@ object Dedup {
   def minhashIndexCompact(
       keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
     val spark = keepIds.sparkSession
-    val (sigs, _) = minhashIndexLoad(spark, indexDir)
-    val tmp = s"$indexDir/sigs_compacting"
-    sigs.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
+    recoverIndex(spark, indexDir)
+    val (_, idType) = loadIndexMeta(spark, indexDir)
+    val keep = keepIds.select(col(idCol).as("id"))
+    // bands first, sigs second: between the two swaps, stale SIG rows may
+    // outlive their band rows — they are never found as candidates, so a
+    // deleted document can not win a delta in the window (the failure the
+    // compact exists to prevent); the reverse order would leave stale BAND
+    // rows whose candidates then silently drop at the sig join — also safe,
+    // but this order keeps the dangerous direction impossible by design
+    compactDir(spark, s"$indexDir/bands",
+      spark.read.schema(bandsSchema(idType)).parquet(s"$indexDir/bands")
+        .join(keep, Seq("id"), "left_semi"), "band_bucket", "band_hash")
+    compactDir(spark, s"$indexDir/sigs",
+      spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
+        .join(keep, Seq("id"), "left_semi"), "id_bucket", "id")
+  }
+
+  /** Rewrite `kept` into `<live>_compacting` (partitioned by `partCol`, the
+    * already-present bucket column; `sortCol` keeps per-file min/max stats
+    * tight), commit-mark it, and swap it in. */
+  private def compactDir(
+      spark: org.apache.spark.sql.SparkSession, liveDir: String,
+      kept: DataFrame, partCol: String, sortCol: String): Unit = {
+    val tmp = s"${liveDir}_compacting"
+    kept.repartition(col(partCol)).sortWithinPartitions(partCol, sortCol)
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(liveDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeCommitMarker(fs, tmp)
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+    val live = new org.apache.hadoop.fs.Path(liveDir)
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
@@ -661,16 +778,8 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, oldSigs: DataFrame,
       p: MinhashIndexParams = MinhashIndexParams(), threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket, broadcastNewKeys: Boolean = true): AuditedPairs = {
-    def bandsOf(sigs: DataFrame, isNew: Boolean): DataFrame = {
-      val banded = (0 until p.bands).map { bi =>
-        struct(lit(bi).as("band_idx"),
-          xxhash64(concat_ws(",", slice(col("sig"), bi * p.rowsPerBand + 1, p.rowsPerBand)))
-            .as("band_hash"))
-      }
-      sigs.select(col("id"), col("sig"), lit(isNew).as("is_new"),
-        explode(array(banded: _*)).as("b"))
-        .select(col("id"), col("sig"), col("is_new"), col("b.band_idx"), col("b.band_hash"))
-    }
+    def bandsOf(sigs: DataFrame, isNew: Boolean): DataFrame =
+      bandRows(sigs, p).withColumn("is_new", lit(isNew))
     // candidate/banding boundary: the delta signature frame is tiny and read
     // twice (bucket keys + banding union) — recomputing it would re-run the
     // full signature scan per reference (DataFrame reuse re-executes plans)
@@ -746,14 +855,118 @@ object Dedup {
       .select(col("id"))
   }
 
-  /** [[deltaDedup]] against a PERSISTED index directory (loads sigs+params).
-    * `broadcastNewKeys = false` for deltas too large to broadcast their
-    * bucket-key set (the prune becomes a shuffle semi-join). */
+  /** [[deltaNearDupsAudited]] against a PERSISTED index directory — the
+    * index-native path. Differences from the raw-frame path, all
+    * scan-boundedness at 10^12 rows:
+    *  - the old side's band rows are READ, never recomputed: the candidate
+    *    scan is the THIN `bands/` layout (no signature bytes), partition-
+    *    pruned to the band buckets the delta actually touches (a streaming
+    *    micro-batch touching 20 of `numBuckets` directories reads 20; a
+    *    saturating batch delta degrades to the full thin scan — still
+    *    ~`numHashes`×8 B/doc cheaper than dragging signatures through the
+    *    bucket join, and with zero hash computation);
+    *  - signatures are fetched ONLY for the old ids that appear in a
+    *    candidate pair, from `sigs/` partition-pruned to those ids' buckets.
+    * Emits the same (id_a, id_b, matches, a_is_new, b_is_new) pairs as
+    * [[deltaNearDupsAudited]] over the same corpus, bit-for-bit: banding,
+    * bucket capping, and signature verification are identical — only WHERE
+    * the old side's rows come from changes. */
+  def deltaNearDupsIndexedAudited(
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket,
+      broadcastNewKeys: Boolean = true, eagerCheckpoints: Boolean = true): AuditedPairs = {
+    val spark = newDocs.sparkSession
+    // candidate/verify stage boundaries are eager localCheckpoints (frames
+    // are tiny projections of expensive scans, each read by several
+    // consumers). `eagerCheckpoints = false` is a PLAN-INSPECTION seam:
+    // checkpoints truncate lineage to ExistingRDD leaves, hiding the
+    // partition-pruned parquet scans from the final executed plan — tests
+    // disable them to pin PartitionFilters, at the cost of re-executing the
+    // candidate scan per downstream consumer. Leave true in production.
+    def stage(df: DataFrame): DataFrame =
+      if (eagerCheckpoints) df.localCheckpoint(true) else df
+    recoverIndex(spark, indexDir)
+    val (p, idType) = loadIndexMeta(spark, indexDir)
+    // tiny frame, read three times (bucket collect, key prune, sig union)
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, p).localCheckpoint(true)
+    val newBands = bandRows(newSigs, p).withColumn("is_new", lit(true))
+    // directory prune: the delta's band buckets, ≤ numBuckets ints
+    val touched = newBands.select(bandBucket(p).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val newKeys0 = newBands.select("band_idx", "band_hash").distinct()
+    val newKeys = if (broadcastNewKeys) broadcast(newKeys0) else newKeys0
+    val oldBands =
+      (if (touched.isEmpty) spark.read.schema(bandsSchema(idType)).parquet(s"$indexDir/bands")
+         .filter(lit(false))
+       else spark.read.schema(bandsSchema(idType)).parquet(s"$indexDir/bands")
+         .filter(col("band_bucket").isin(touched: _*)))
+        .join(newKeys, Seq("band_idx", "band_hash"), "left_semi")
+        .select(col("id"), lit(false).as("is_new"), col("band_idx"), col("band_hash"))
+    val members = Seq("id", "is_new", "band_idx", "band_hash").map(col)
+    val grouped = oldBands.select(members: _*)
+      .unionAll(newBands.select(members: _*))
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("is_new")))).as("xs"))
+    val (observed, obs, recompute) = observeDrops(grouped, "xs", maxBucket)
+    // candidate pairs WITHOUT signatures (the thin scan never read them);
+    // checkpointed — read by the old-id bucket collect AND both sig joins
+    val cand0 = observed
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i+2, size(xs)),
+             y -> struct(x.id AS id_a, x.is_new AS a_is_new,
+                         y.id AS id_b, y.is_new AS b_is_new))))"""))
+        .as("q"))
+      .filter(col("q.a_is_new") || col("q.b_is_new"))
+      .select(col("q.id_a"), col("q.a_is_new"), col("q.id_b"), col("q.b_is_new"))
+      .dropDuplicates("id_a", "id_b")
+    val cand = stage(cand0)
+    // pruned signature fetch for exactly the candidates' OLD ids
+    val oldIds = cand.filter(!col("a_is_new")).select(col("id_a").as("id"))
+      .unionAll(cand.filter(!col("b_is_new")).select(col("id_b").as("id")))
+      .distinct()
+    val idBuckets = oldIds.select(idBucket(p).as("ib"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val oldSigsNeeded =
+      (if (idBuckets.isEmpty) spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
+         .filter(lit(false))
+       else spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
+         .filter(col("id_bucket").isin(idBuckets: _*)))
+        .join(broadcast(oldIds), Seq("id"), "left_semi")
+        .select(col("id"), col("sig"))
+    val sigOf = stage(newSigs.select(col("id"), col("sig")).unionAll(oldSigsNeeded))
+      // staged: joined twice (side a, side b)
+    val pairs = cand
+      .join(sigOf.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigOf.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sigMatchCount(col("sig_a"), col("sig_b"), p.numHashes).as("matches"),
+        col("a_is_new"), col("b_is_new"))
+      .filter(col("matches") >= p.minMatches(threshold))
+    AuditedPairs(pairs, obs, recompute)
+  }
+
+  /** [[deltaNearDupsIndexedAudited]] without the audit handle. */
+  def deltaNearDupsIndexed(
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket,
+      broadcastNewKeys: Boolean = true): DataFrame =
+    deltaNearDupsIndexedAudited(newDocs, idCol, textCol, indexDir, threshold,
+      maxBucket, broadcastNewKeys).pairs
+
+  /** [[deltaDedup]] against a PERSISTED index directory, via the partition-
+    * pruned [[deltaNearDupsIndexedAudited]] path (the old corpus's band rows
+    * are read, never recomputed). `broadcastNewKeys = false` for deltas too
+    * large to broadcast their bucket-key set (the prune becomes a shuffle
+    * semi-join). */
   def deltaDedupIndexed(
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket,
       broadcastNewKeys: Boolean = true): DataFrame = {
-    val (oldSigs, p) = minhashIndexLoad(newDocs.sparkSession, indexDir)
-    deltaDedup(newDocs, idCol, textCol, oldSigs, p, threshold, maxBucket, broadcastNewKeys)
+    val pairs = deltaNearDupsIndexedAudited(newDocs, idCol, textCol, indexDir,
+      threshold, maxBucket, broadcastNewKeys)
+      .pairs.localCheckpoint(true) // read by CC rounds AND the tag join below
+    newDocs.join(deltaLosers(pairs).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 }

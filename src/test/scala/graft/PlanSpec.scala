@@ -300,6 +300,39 @@ class PlanSpec extends SparkSpec {
     assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
   }
 
+  test("indexed delta dedup: thin band scan partition-pruned to the delta's buckets; sig fetch pruned to candidate id buckets") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.ops.Dedup.MinhashIndexParams(numHashes = 32, bands = 8)
+    val dir = Files.createTempDirectory("graft-banded-idx").toString
+    graft.ops.Dedup.minhashIndexBuild(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", dir, p)
+    // a one-doc delta touches ≤ bands band-buckets of numBuckets dirs: the
+    // old-side candidate scan must carry a PartitionFilters entry on
+    // band_bucket, and it must be the THIN layout (no sig column read)
+    val delta = d.filter(col("doc_id") === 1) // doc 1 IS indexed -> a pair must surface
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    // eagerCheckpoints=false keeps the full lineage so the pruned parquet
+    // scans are visible in the final plan (production checkpoints truncate
+    // them to ExistingRDD leaves)
+    val pairs = graft.ops.Dedup.deltaNearDupsIndexedAudited(
+      delta, "doc_id", "text", dir, threshold = 0.8, eagerCheckpoints = false).pairs
+    val scan = pairs.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*band_bucket".r.findFirstIn(scan).isDefined,
+      s"delta's band buckets must land in PartitionFilters:\n$scan")
+    assert("PartitionFilters: \\[[^\\]]*id_bucket".r.findFirstIn(scan).isDefined,
+      s"candidate old ids' buckets must land in PartitionFilters:\n$scan")
+    val bandScan = scan.linesIterator.filter(_.contains("/bands")).mkString("\n")
+    assert(bandScan.nonEmpty && !bandScan.contains("sig"),
+      s"candidate scan must read the THIN band layout, no signature column:\n$bandScan")
+    // and the indexed path emits exactly what the raw-frame path emits
+    val oldSigs = graft.ops.Dedup.minhashSignatures(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", p)
+    val raw = graft.ops.Dedup.deltaNearDups(delta, "doc_id", "text", oldSigs, p)
+      .collect().map(_.toSeq).toSet
+    assert(raw.nonEmpty, "expected the planted delta copy to pair with its indexed source")
+    assert(pairs.collect().map(_.toSeq).toSet === raw)
+  }
+
   test("snapshot diff: partial+final fingerprint aggregates, scans pruned to the hashed columns") {
     val cur = table.filter(col("id") % 5 =!= 0)
     val p = plan(graft.checkpoint.CheckpointedRunner.snapshotDiff(

@@ -640,6 +640,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("id"))
     }),
 
+    // ---- similarity: corpus-vs-corpus k-NN graph (distributed query side; probe cells as a per-row expression) ----------
+    // Every vector's top-3 nearest others. No driver collect anywhere: the
+    // probe-cell ranking runs as a codegen'd expression over the corpus-sized
+    // query side (the shape knnJoinCosineIvf's collected batch cannot take).
+    "q_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding", k = 16, iters = 0,
+        sampleSize = 16, sampleByHash = false) // oracle rebuilds "the 16 smallest ids"
+      Similarity.knnGraphCosineIvf(
+        Similarity.ivfAssign(e, "vec_id", "embedding", centroids), k = 3, centroids, nprobe = 6)
+        .select(col("query_id"), col("rank"), col("id"))
+    }),
+
     // ---- similarity: product-quantized ADC search (32x smaller codes; exact oracle via iters=0 codebooks) ----------------
     "q_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1307,6 +1320,39 @@ object SparkEntry {
         SELECT query_id, id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id DESC) AS rn
         FROM scored) WHERE rn <= 5""",
+
+    // k-NN graph: q_knn_join_ivf's oracle with the whole corpus as the query
+    // side and self-pairs excluded before the per-query rank cut.
+    "q_knn_graph" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+                      list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cu
+               FROM (SELECT vec_id, e FROM ev ORDER BY vec_id ASC LIMIT 16)),
+      qu AS (SELECT vec_id AS query_id, e AS qe,
+                    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+             FROM ev),
+      probe AS (SELECT query_id, cell FROM (
+                  SELECT qu.query_id, cent.cell,
+                         row_number() OVER (PARTITION BY qu.query_id
+                           ORDER BY list_dot_product(cent.cu, qu.u) DESC, cent.cell ASC) AS rn
+                  FROM qu CROSS JOIN cent) WHERE rn <= 6),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT ev.vec_id, cent.cell,
+                          row_number() OVER (PARTITION BY ev.vec_id
+                            ORDER BY list_dot_product(ev.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM ev CROSS JOIN cent) WHERE rn = 1),
+      scored AS (SELECT probe.query_id, ev.vec_id AS id,
+                        list_dot_product(ev.e, qu.qe) /
+                          (sqrt(list_dot_product(ev.e, ev.e)) * sqrt(list_dot_product(qu.qe, qu.qe))) AS sim
+                 FROM ev
+                 JOIN assign USING (vec_id)
+                 JOIN probe ON assign.cell = probe.cell
+                 JOIN qu ON qu.query_id = probe.query_id
+                 WHERE ev.vec_id <> probe.query_id)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id DESC) AS rn
+        FROM scored) WHERE rn <= 3""",
 
     // PQ recomputed verbatim: iters=0 codebooks are the unit-normalized 16
     // smallest-id vectors' subvectors; encode = per-subspace L2 argmin (ties

@@ -76,3 +76,98 @@ object NearestCentroid {
   def apply(c: Column, centroids: Seq[Seq[Double]]): Column =
     graftbridge.toColumn(NearestCentroid(graftbridge.toExpression(c), centroids))
 }
+
+/** The `nprobe` nearest cells of a query vector, ranked by dot(centroid,
+  * unit(query)) descending with ties to the SMALLER cell index — exactly
+  * [[graft.ops.Similarity.probeCells]] (which sorts (-dot, idx) ascending;
+  * the comparator here mirrors java.lang.Double.compare on the negated dots,
+  * so even -0.0/0.0 edge dots rank identically), but as a JITed per-row
+  * expression: the distributed k-NN join explodes this over a corpus-sized
+  * query side instead of collecting queries to the driver. */
+case class ProbeCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"probe_cells expects array<double|float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "probe_cells"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    ProbeCells.compute(v.asInstanceOf[ArrayData], matrix, isFloat, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ProbeCells.compute($c, $m, $isFloat, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCells =
+    copy(child = newChild)
+}
+
+object ProbeCells {
+  /** Static so generated code can call it. Selection is O(nprobe x cells) —
+    * nprobe is small by construction, and this runs once per row inside the
+    * codegen'd projection. */
+  def compute(emb: ArrayData, centroids: Array[Array[Double]],
+      isFloat: Boolean, nprobe: Int): ArrayData = {
+    val n = emb.numElements()
+    // unit-normalize the query exactly like Similarity.unit: x / norm,
+    // sequential-accumulated norm; a zero vector stays as-is
+    val q = new Array[Double](n)
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      q(i) = x
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    if (nrm > 0) { i = 0; while (i < n) { q(i) /= nrm; i += 1 } }
+    val dots = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val dim = math.min(n, cent.length)
+      var d = 0.0
+      i = 0
+      while (i < dim) { d += cent(i) * q(i); i += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val take = math.min(nprobe, centroids.length)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](centroids.length)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      c = 0
+      while (c < centroids.length) {
+        if (!used(c) && (best < 0 || {
+          // probeCells ranks (-dot, idx) ascending; c beats best when its
+          // negated dot compares smaller, ties to the smaller index (c >
+          // best always here, so strict-less only)
+          java.lang.Double.compare(-dots(c), -dots(best)) < 0
+        })) best = c
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    graftbridge.toColumn(ProbeCells(graftbridge.toExpression(c), centroids, nprobe))
+}

@@ -395,6 +395,61 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** [[knnJoinCosineIvf]] with a DISTRIBUTED query side: probe cells are a
+    * per-row codegen'd expression ([[graft.functions.ProbeCells]] — exactly
+    * [[probeCells]]' ranking) exploded into (query, cell) rows, so the query
+    * side never collects to the driver and can itself be corpus-sized. The
+    * (query, cell) fan-out joins hash on `cell` — broadcast when the query
+    * side is small (equality with the driver-probed path is pinned in
+    * OpsSpec), shuffle-hash at corpus scale, never a nested-loop — and the
+    * same bounded-queue top-k tail caps every partition at k structs per
+    * query. This is the corpus-vs-corpus k-NN graph shape: Σ_q |probed
+    * cells| work, zero driver-side state. */
+  def knnJoinCosineIvfDistributed(
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qe"))
+      .withColumn("__nq", norm(col("__qe")))
+      .filter(col("__nq") =!= 0.0) // zero-vector queries: no rows (brute-force parity)
+      .select(col("query_id"), col("__qe"), col("__nq"),
+        explode(graft.functions.ProbeCells(col("__qe"), centroids, nprobe)).as("cell"))
+    val c = indexed
+      .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
+      .withColumn("__nc", norm(col("__ce")))
+      .filter(col("__nc") =!= 0.0)
+    val scored = c.join(q, "cell")
+      .select(col("query_id"), col("id"),
+        (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Corpus-vs-corpus k-NN GRAPH over a pre-assigned corpus: every vector's
+    * top-k nearest OTHER vectors (self-pairs excluded before the top-k cut,
+    * so each row still yields k neighbors when its probed cells hold k
+    * others). The corpus plays both sides of [[knnJoinCosineIvfDistributed]]
+    * — no driver collect, no cartesian. */
+  def knnGraphCosineIvf(
+      assigned: DataFrame, k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int = 4): DataFrame = {
+    val q = assigned
+      .select(col("id").as("query_id"), col("emb").cast("array<double>").as("__qe"))
+      .withColumn("__nq", norm(col("__qe")))
+      .filter(col("__nq") =!= 0.0)
+      .select(col("query_id"), col("__qe"), col("__nq"),
+        explode(graft.functions.ProbeCells(col("__qe"), centroids, nprobe)).as("cell"))
+    val c = assigned
+      .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
+      .withColumn("__nc", norm(col("__ce")))
+      .filter(col("__nc") =!= 0.0)
+    val scored = c.join(q, "cell")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   // ---------------------------------------------------------------------------
   // Int8 scalar quantization: 4x less storage and shuffle than float32 — at
   // 100 TB the embedding column IS the data volume, so this is the difference

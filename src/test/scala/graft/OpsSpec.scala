@@ -478,6 +478,46 @@ class OpsSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("distributed IVF knn join equals the driver-probed path; graph excludes self and matches per-query joins") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
+    val indexed = Similarity.ivfAssign(embs, "vec_id", "embedding", centroids).cache()
+    // the ProbeCells expression must rank cells exactly like driver-side
+    // probeCells — same candidates, same scores, same rank cut
+    for (np <- Seq(2, 8, 16)) {
+      val driverProbed = Similarity.knnJoinCosineIvf(queries, "vec_id", "embedding",
+        indexed, centroids, k = 5, nprobe = np)
+        .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+      val distributed = Similarity.knnJoinCosineIvfDistributed(queries, "vec_id", "embedding",
+        indexed, centroids, k = 5, nprobe = np)
+        .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+      assert(distributed === driverProbed, s"nprobe=$np")
+    }
+    // the graph: corpus as its own query side, self-pairs excluded
+    val graph = Similarity.knnGraphCosineIvf(indexed, k = 3, centroids, nprobe = 16)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect()
+    assert(!graph.exists(r => r._1 == r._3), "self-pair leaked into the graph")
+    val allIds = embs.select($"vec_id").as[Long].collect().toSet
+    assert(graph.map(_._1).toSet === allIds) // every vector got neighbors
+    // per-query agreement with the joined path: whenever the query's own
+    // vector holds rank 1 of its top-4 (the usual case, cosine 1), the graph's
+    // top-3 must be exactly ranks 2..4 with the rank shifted down by one
+    val viaJoin = Similarity.knnJoinCosineIvfDistributed(embs, "vec_id", "embedding",
+      indexed, centroids, k = 4, nprobe = 16)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2) }
+    val byQ = graph.groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    var checked = 0
+    viaJoin.foreach { case (q, rs) =>
+      if (rs.headOption.exists(_._3 == q) && rs.size == 4) {
+        assert(byQ(q) === rs.drop(1).map(_._3).toSeq, s"query $q")
+        checked += 1
+      }
+    }
+    assert(checked > allIds.size / 2, s"self-at-rank-1 spot-check covered only $checked queries")
+    indexed.unpersist()
+  }
+
   test("drop audit rides the dedup job: degenerate corpus reports excluded buckets") {
     // 40 byte-identical docs: every band bucket holds all 40 ids. A cap of 10
     // drops ALL of them — without the audit that would read as "no near-dups".

@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
     assert(scanned < totalRows, s"scan emitted $scanned of $totalRows rows — no pruning happened")
   }
 
+  test("distributed IVF knn join: no driver-collected query side, codegen'd probe explode, hash join on cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = graft.ops.Similarity.ivfTrain(
+      e, "vec_id", "embedding", k = 16, iters = 0, sampleSize = 16)
+    val indexed = graft.ops.Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    val out = graft.ops.Similarity.knnJoinCosineIvfDistributed(
+      e.filter(col("vec_id") % 200 === 0), "vec_id", "embedding",
+      indexed, centroids, k = 5, nprobe = 2)
+    val p = plan(out)
+    // the query side is a SCAN + Generate(explode(probe_cells)), never a
+    // LocalTableScan of rows collected to the driver (the probed path's
+    // signature) — both sides must come straight from the parquet source
+    assert(!p.contains("LocalTableScan"), s"driver-collected query side leaked in:\n$p")
+    assert(p.contains("probe_cells"), s"probe-cell expression missing:\n$p")
+    assert(p.contains("Generate explode"), s"probe fan-out must be an explode:\n$p")
+    // cell equi-join (broadcast here; shuffle-hash at corpus scale) — never
+    // a nested-loop/cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+    // same bounded-queue top-k tail as every other k-NN join
+    assert(p.contains("partial_collect_top_k"), p)
+  }
+
   test("minhash/simhash signature projections stay inside whole-stage codegen") {
     // the signatures are native Expressions (one JITed static call each) — a
     // HOF fold here would be CodegenFallback and evict the whole projection

@@ -680,12 +680,17 @@ object Dedup {
     // compact exists to prevent); the reverse order would leave stale BAND
     // rows whose candidates then silently drop at the sig join — also safe,
     // but this order keeps the dangerous direction impossible by design
+    // dropDuplicates doubles as the REPAIR path for a crashed append that was
+    // redelivered (at-least-once appends can leave duplicate rows per id —
+    // harmless for dedup decisions, but compaction restores exactly-one)
     compactDir(spark, s"$indexDir/bands",
       spark.read.schema(bandsSchema(idType)).parquet(s"$indexDir/bands")
-        .join(keep, Seq("id"), "left_semi"), "band_bucket", "band_hash")
+        .join(keep, Seq("id"), "left_semi")
+        .dropDuplicates("id", "band_idx"), "band_bucket", "band_hash")
     compactDir(spark, s"$indexDir/sigs",
       spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
-        .join(keep, Seq("id"), "left_semi"), "id_bucket", "id")
+        .join(keep, Seq("id"), "left_semi")
+        .dropDuplicates("id"), "id_bucket", "id")
   }
 
   /** Rewrite `kept` into `<live>_compacting` (partitioned by `partCol`, the

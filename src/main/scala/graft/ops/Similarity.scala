@@ -193,6 +193,18 @@ object Similarity {
       numCells: Int = 16, iters: Int = 3, sampleSize: Int = 4096,
       sampleByHash: Boolean = true): Seq[Seq[Double]] = {
     val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
+    ivfBuildIndexWith(df, idCol, embCol, indexDir, centroids)
+    centroids
+  }
+
+  /** Persist an IVF index from ALREADY-TRAINED centroids (assign + write +
+    * centroid sidecar, no training pass) — the bootstrap seam for incremental
+    * pipelines, where the persisted quantizer must be exactly the one earlier
+    * dedup decisions used (training a second time on a filtered frame would
+    * silently fork it). */
+  def ivfBuildIndexWith(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String,
+      centroids: Seq[Seq[Double]]): Unit = {
     ivfAssign(df, idCol, embCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -200,7 +212,6 @@ object Similarity {
     import spark.implicits._
     Seq(json).toDF("centroids").coalesce(1)
       .write.mode("overwrite").json(s"$indexDir/centroids")
-    centroids
   }
 
   def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
@@ -800,6 +811,7 @@ object Similarity {
     val cells = spark.read.parquet(s"$indexDir/cells")
     val tmp = s"$indexDir/cells_compacting"
     cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .dropDuplicates("id") // repair duplicate rows a redelivered append left
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -32,6 +32,24 @@ case class PipelineReport(
   * exactly which stages a resumed run re-executed. */
 case class StageRecord(name: String, loaded: Boolean, counts: Map[String, Long])
 
+/** Per-stage row accounting for one [[TrainingPipeline.runDelta]] snapshot
+  * (each count = docs removed by that stage, among the previous stage's
+  * survivors; `semanticDups` is 0 when no embedding column was given). */
+case class DeltaPipelineReport(
+    input: Long, invalid: Long, exactDups: Long, nearDups: Long,
+    contaminated: Long, lowQuality: Long, semanticDups: Long, output: Long,
+    nearDupDroppedBuckets: Long = 0L, nearDupDroppedIds: Long = 0L) {
+  def removed: Long =
+    invalid + exactDups + nearDups + contaminated + lowQuality + semanticDups
+}
+
+/** One [[TrainingPipeline.runDelta]] snapshot's output: the delta's surviving
+  * documents (split/packed), its report, and the per-stage manifest (which
+  * stages a resumed run loaded vs recomputed — the same contract as
+  * [[PipelineResult.stages]]). */
+case class DeltaPipelineResult(corpus: DataFrame, report: DeltaPipelineReport,
+    stages: Seq[StageRecord] = Nil)
+
 /** `corpus` reads from the one cached frame [[run]] created; call
   * [[unpersist]] once the caller's action on `corpus` (write/collect) is done.
   * `stages` is the per-stage manifest — empty for the uncheckpointed [[run]],
@@ -456,6 +474,277 @@ object TrainingPipeline {
       nearDupDroppedBuckets = nearC("drop_buckets"),
       nearDupDroppedIds = nearC("drop_ids"),
       mixedRows = nMixedRows),
+      stages = records.result())
+  }
+
+  // ---- incremental (delta) variant ------------------------------------------
+
+  /** One SNAPSHOT DELTA through the pipeline against the persisted state of
+    * every earlier snapshot — the steady-state shape of a 100 TB corpus,
+    * where each round re-reads a day's delta instead of the whole corpus:
+    *
+    *   normalize (NFC) + PII scrub -> validate -> exact dedup WITHIN the
+    *   delta -> lexical delta dedup vs the persisted MinHash signature index
+    *   (earlier corpus always wins; dedup survivors' signatures APPEND to
+    *   the index) -> decontaminate -> quality -> semantic delta dedup vs the
+    *   persisted IVF index when `embCol` is given (survivors append) ->
+    *   split (+ optional packing).
+    *
+    * State lives under `workDir`: `mhidx/` (built empty on first use),
+    * `ivfidx/` (quantizer TRAINED ON THE FIRST SNAPSHOT's quality survivors
+    * and never re-trained — appends assign with the stored centroids), and
+    * one StageStore chain per distinct delta content. Stages per delta:
+    * prepare (delta corpus checkpoint), lexdedup (survivor-id set), mhappend,
+    * decontam, quality, semdedup (survivor-id set), semappend. A kill
+    * mid-stage resumes from the last committed stage; the appends are
+    * EFFECT stages — a kill between an append's write and its commit can
+    * redeliver it, leaving duplicate index rows (harmless for dedup
+    * decisions — duplicate candidates collapse — and repaired by the next
+    * index compaction). Submitting a byte-identical delta again REPLAYS its
+    * committed result without touching the indexes (exactly-once processing
+    * per distinct snapshot content); replay is only valid until a LATER
+    * delta commits, the same monotone discipline as the checkpoint runner.
+    *
+    * `deletions` (ids withdrawn from the corpus) COMPACT both indexes before
+    * the delta is processed, so a new near-copy of a deleted document can
+    * survive (stale index entries would otherwise keep winning) — run-once
+    * idempotent, not staged.
+    *
+    * Equivalence to the batch pipeline: feeding snapshots D1..Dn through
+    * this facade yields the same survivor-id union as [[run]] over
+    * D1∪...∪Dn (OpsSpec pins it) PROVIDED ids are monotone across snapshots
+    * (batch keeps cluster minima; the index keeps the earlier snapshot —
+    * these agree when later snapshots have larger ids) and similarity chains
+    * do not route exclusively through dropped documents (losers' signatures
+    * never enter the index — the standard online-vs-batch dedup caveat).
+    * Near-dup verification here is SIGNATURE agreement (index-only; the old
+    * corpus text is never read), so borderline pairs at the threshold can
+    * differ from the batch path's text-verified jaccard. The corpus-
+    * frequency scrubs (line/span) and corpus mixing are deliberately absent:
+    * they are corpus-scope passes that do not commute with per-delta
+    * processing — run them on the assembled corpus downstream. */
+  def runDelta(
+      delta: DataFrame, idCol: String, textCol: String, workDir: String,
+      schema: Option[SchemaSpec] = None,
+      probe: Option[(DataFrame, String, String)] = None,
+      embCol: Option[String] = None,
+      deletions: Option[DataFrame] = None,
+      minhashParams: Dedup.MinhashIndexParams = Dedup.MinhashIndexParams(),
+      minhashThreshold: Double = 0.9,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      decontamN: Int = 13, decontamMinHits: Long = 1L,
+      minQualityScore: Long = 0L, maxTopWordPct: Int = 100,
+      semanticThreshold: Double = 0.99, numCells: Int = 1024,
+      ivfIters: Int = 3, ivfSampleSize: Int = 4096,
+      maxCell: Int = Dedup.DefaultMaxBucket,
+      splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
+      packBudget: Option[Long] = None, packShards: Int = 64,
+      paramsKey: String = "", checkpointShards: Int = 64,
+      onStageComputed: String => Unit = _ => ()): DeltaPipelineResult = {
+    import graft.checkpoint.StageStore
+    val spark = delta.sparkSession
+    val sc = spark.sparkContext
+    val records = Seq.newBuilder[StageRecord]
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(sc.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val mhDir = s"$workDir/mhidx"
+    val ivfDir = s"$workDir/ivfidx"
+
+    // withdrawals first: compact both indexes to the surviving ids so stale
+    // entries of deleted documents can no longer win against this delta
+    deletions.foreach { del =>
+      val delIds = del.select(col(idCol).as("id"))
+      if (exists(s"$mhDir/_params")) {
+        val keep = Dedup.minhashIndexLoad(spark, mhDir)._1.select("id")
+          .join(delIds, Seq("id"), "left_anti")
+        Dedup.minhashIndexCompact(keep, "id", mhDir)
+      }
+      if (embCol.isDefined && exists(s"$ivfDir/centroids")) {
+        Dedup.completeSwap(spark, s"$ivfDir/cells", s"$ivfDir/cells_compacting")
+        val keep = spark.read.parquet(s"$ivfDir/cells").select("id")
+          .join(delIds, Seq("id"), "left_anti")
+        Similarity.ivfIndexCompact(keep, "id", ivfDir)
+      }
+    }
+
+    def contentFp(df: DataFrame, id: String, text: String): String = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    def committedData(dir: String): Boolean =
+      exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS").toString)
+    def stage(name: String, key: String, dataDir: Option[String] = None)(
+        compute: => Map[String, Long]): Map[String, Long] =
+      StageStore.load(spark, workDir, name, key)
+        .filter(_ => dataDir.forall(committedData)) match {
+        case Some(c) => records += StageRecord(name, loaded = true, c); c
+        case None =>
+          val c = compute
+          StageStore.commit(spark, workDir, name, key, c)
+          records += StageRecord(name, loaded = false, c)
+          onStageComputed(name)
+          c
+      }
+
+    val baseKey = s"v1|in=${contentFp(delta, idCol, textCol)}|" +
+      s"schema=${schema.isDefined}|user=$paramsKey"
+    // per-delta stage namespace: successive snapshots never overwrite each
+    // other's committed state, so an identical resubmission replays cleanly
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(baseKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    def sname(n: String) = s"delta_${tag}_$n"
+
+    // -- prepare: normalize+PII -> validate -> exact dedup WITHIN the delta,
+    //    checkpointed as the frame every later stage re-reads
+    val prepDir = StageStore.dataDir(workDir, sname("corpus"))
+    val prep = stage(sname("prepare"), baseKey, Some(prepDir)) {
+      val cleaned = delta.withColumn(textCol,
+        TextOps.scrubPii(TextOps.normalizeUnicode(col(textCol))))
+      val intake = Observation(s"graft_delta_intake_${seq.incrementAndGet()}")
+      val annotated = schema match {
+        case Some(spec) => Validator.validate(spec, cleaned).annotated
+        case None       => cleaned.withColumn("valid", lit(true))
+      }
+      val observed = annotated
+        .observe(intake, count(lit(1)).as("n_input"),
+          coalesce(sum(when(col("valid"), 1L).otherwise(0L)), lit(0L)).as("n_valid"))
+        .filter(col("valid"))
+      val valid = schema match {
+        case Some(_) => observed.drop("violations", "valid")
+        case None    => observed.drop("valid")
+      }
+      Dedup.exactDedup(valid, idCol, textCol)
+        .repartition(checkpointShards, col(idCol))
+        .sortWithinPartitions(idCol)
+        .write.mode(SaveMode.Overwrite).parquet(prepDir)
+      val (nInput, nValid) = intakeCounts(intake, annotated)
+      Map("n_input" -> nInput, "n_valid" -> nValid,
+        "n_exact" -> spark.read.parquet(prepDir).count())
+    }
+    val prepared = spark.read.parquet(prepDir)
+    val idType = prepared.schema(idCol).dataType
+    def idSet(dir: String): DataFrame =
+      spark.read.schema(StructType(Seq(StructField(idCol, idType)))).parquet(dir)
+
+    // -- lexical delta dedup vs the persisted MinHash index (built empty on
+    //    first use: a from-scratch corpus's first snapshot dedups only
+    //    within itself, exactly the batch semantics on one snapshot)
+    val lexDir = StageStore.dataDir(workDir, sname("lex_keep"))
+    val lexKey = s"$baseKey|mh=$minhashParams|thr=$minhashThreshold|maxBucket=$maxBucket"
+    val lexC = stage(sname("lexdedup"), lexKey, Some(lexDir)) {
+      if (!exists(s"$mhDir/_params"))
+        Dedup.minhashIndexBuild(prepared.limit(0), idCol, textCol, mhDir, minhashParams)
+      val before = sc.getPersistentRDDs.keySet
+      try {
+        val audited = Dedup.deltaNearDupsIndexedAudited(
+          prepared, idCol, textCol, mhDir, minhashThreshold, maxBucket)
+        val pairs = audited.pairs.localCheckpoint(true)
+        prepared
+          .join(Dedup.deltaLosers(pairs).withColumnRenamed("id", idCol),
+            Seq(idCol), "left_anti")
+          .select(col(idCol))
+          .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
+          .write.mode(SaveMode.Overwrite).parquet(lexDir)
+        Map("n_keep" -> idSet(lexDir).count(),
+          "drop_buckets" -> audited.droppedBuckets, "drop_ids" -> audited.droppedIds)
+      } finally Dedup.releaseCheckpointsSince(sc, before)
+    }
+    val lexKept = prepared.join(idSet(lexDir), Seq(idCol), "left_semi")
+
+    // -- append the DEDUP-stage survivors' signatures (pre-quality: a batch
+    //    near-dup cluster forms over validated docs regardless of their later
+    //    quality fate — appending post-quality would let a near-copy of a
+    //    low-quality keeper survive where the batch pipeline drops it)
+    stage(sname("mhappend"), lexKey) {
+      Dedup.minhashIndexAppend(lexKept, idCol, textCol, mhDir)
+      Map("n_appended" -> lexC("n_keep"))
+    }
+
+    // -- decontamination among lexical survivors
+    val contamDir = StageStore.dataDir(workDir, sname("contaminated_ids"))
+    val (decontamKey, deconAndCount) = probe match {
+      case Some((p, pid, ptext)) =>
+        val key = s"$lexKey|probe=${contentFp(p, pid, ptext)}|n=$decontamN|minHits=$decontamMinHits"
+        val c = stage(sname("decontam"), key, Some(contamDir)) {
+          val probeHashed = Decontaminate.probeHashes(p, pid, ptext, decontamN)
+          Decontaminate
+            .ngramCollisionsAgainst(lexKept, idCol, textCol, probeHashed,
+              decontamN, decontamMinHits)
+            .select(col("id").as(idCol)).distinct()
+            .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
+            .write.mode(SaveMode.Overwrite).parquet(contamDir)
+          Map("n_contam" -> idSet(contamDir).count())
+        }
+        (key, (lexKept.join(idSet(contamDir), Seq(idCol), "left_anti"), c("n_contam")))
+      case None => (s"$lexKey|probe=none", (lexKept, 0L))
+    }
+    val (decon, nContam) = deconAndCount
+
+    // -- quality gate (cheap reapplied filter; counts-only stage)
+    val qualityKey = s"$decontamKey|minQ=$minQualityScore|maxTop=$maxTopWordPct"
+    val kept = qualityFilter(decon, textCol, minQualityScore, maxTopWordPct)
+    val nKept = stage(sname("quality"), qualityKey)(Map("n_kept" -> kept.count()))("n_kept")
+
+    // -- semantic delta dedup vs the persisted IVF index; first snapshot
+    //    trains the quantizer (on its quality survivors) and seeds the index
+    //    with its semantic survivors
+    val (finalKept, nSemKeep) = embCol match {
+      case Some(ec) =>
+        val semDir = StageStore.dataDir(workDir, sname("sem_keep"))
+        val semKey = s"$qualityKey|semThr=$semanticThreshold|cells=$numCells|" +
+          s"iters=$ivfIters|sample=$ivfSampleSize|maxCell=$maxCell"
+        val semC = stage(sname("semdedup"), semKey, Some(semDir)) {
+          val before = sc.getPersistentRDDs.keySet
+          try {
+            val (survivors, bootstrapped) =
+              if (!exists(s"$ivfDir/centroids")) {
+                val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
+                  ivfIters, ivfSampleSize)
+                (Similarity.semanticDedup(kept, idCol, ec, cents,
+                  semanticThreshold, maxCell), Some(cents))
+              } else
+                (Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
+                  semanticThreshold, maxCell), None)
+            survivors.select(col(idCol))
+              .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
+              .write.mode(SaveMode.Overwrite).parquet(semDir)
+            // bootstrap: the index IS the seeded survivor set (no separate
+            // append); written after semDir so a kill in between recomputes
+            // the whole stage (both writes are overwrite-idempotent)
+            bootstrapped.foreach { cents =>
+              Similarity.ivfBuildIndexWith(
+                kept.join(idSet(semDir), Seq(idCol), "left_semi"),
+                idCol, ec, ivfDir, cents)
+            }
+            Map("n_sem_keep" -> idSet(semDir).count(),
+              "bootstrapped" -> (if (bootstrapped.isDefined) 1L else 0L))
+          } finally Dedup.releaseCheckpointsSince(sc, before)
+        }
+        val semKept = kept.join(idSet(semDir), Seq(idCol), "left_semi")
+        stage(sname("semappend"), semKey) {
+          if (semC("bootstrapped") == 0L)
+            Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
+          Map("n_appended" -> (if (semC("bootstrapped") == 0L) semC("n_sem_keep") else 0L))
+        }
+        (semKept, semC("n_sem_keep"))
+      case None => (kept, nKept)
+    }
+
+    val out = splitAndPack(finalKept, idCol, textCol, mixing = false,
+      splits, splitSalt, packBudget, packShards)
+
+    DeltaPipelineResult(out, DeltaPipelineReport(
+      input = prep("n_input"),
+      invalid = prep("n_input") - prep("n_valid"),
+      exactDups = prep("n_valid") - prep("n_exact"),
+      nearDups = prep("n_exact") - lexC("n_keep"),
+      contaminated = nContam,
+      lowQuality = lexC("n_keep") - nContam - nKept,
+      semanticDups = nKept - nSemKeep,
+      output = nSemKeep,
+      nearDupDroppedBuckets = lexC("drop_buckets"),
+      nearDupDroppedIds = lexC("drop_ids")),
       stages = records.result())
   }
 

@@ -767,6 +767,112 @@ class OpsSpec extends SparkSpec {
     probe.unpersist(); base.unpersist()
   }
 
+  test("delta pipeline facade: two snapshots equal the batch run; indexes hold the survivors; kill resumes; replay is exactly-once") {
+    import graft.ops.{Dedup, Similarity, TrainingPipeline}
+    import graft.dsl.{Field, SchemaSpec}
+    // controlled corpus: disjoint-vocab docs (jaccard 0 across docs), planted
+    // exact/near/semantic twins, a null-lang invalid plant, a spam plant, a
+    // benchmark leak. Monotone ids across snapshots (the facade's documented
+    // equivalence precondition).
+    def text(i: Long, extra: String = "") =
+      (1 to 30).map(t => s"w${i}_$t").mkString(" ") + extra
+    def emb(concept: Long): Seq[Double] = // real hash mix: an affine scheme mod
+      Seq.tabulate(16) { j =>             // a small prime aliases concepts
+        (scala.util.hashing.MurmurHash3.productHash((concept, j)) % 19 - 9).toDouble
+      }
+    val leakText = "the quick brown fox jumps over the lazy dog " +
+      "once more for the benchmark row"
+    def df(rows: Seq[(Long, String, String, Long)]) = // (id, text, lang, concept)
+      rows.map { case (i, t, l, c) => (i, t, l, emb(c)) }
+        .toDF("doc_id", "text", "lang", "emb")
+    val d1 = df(
+      (1L to 20L).map(i => (i, text(i), "en", i)) ++ Seq(
+        (21L, text(1), "en", 21L),               // exact dup WITHIN D1 (of 1)
+        (22L, text(2, " xq1 xq2"), "en", 22L),   // near twin within D1 (of 2)
+        (23L, "spam spam spam spam spam spam spam spam", "en", 23L))) // low quality
+    val d2 = df(
+      (101L to 110L).map(i => (i, text(i), "en", i)) ++ Seq(
+        (121L, text(3), "en", 121L),             // exact copy ACROSS snapshots (of 3)
+        (122L, text(4, " xq3 xq4"), "en", 122L), // near twin across snapshots (of 4)
+        (123L, text(101, " xq5 xq6"), "en", 123L), // near twin within D2 (of 101)
+        (124L, text(124), "en", 5L),             // SEMANTIC twin of 5 (text disjoint)
+        (125L, leakText, "en", 125L),            // benchmark leak
+        (126L, text(126), null.asInstanceOf[String], 126L))) // invalid (null lang)
+    val probe = Seq((900L, leakText)).toDF("pid", "ptext")
+    val spec = Some(SchemaSpec("d", Seq(Field.string("lang").req), keyColumns = Seq("doc_id")))
+    val work = java.nio.file.Files.createTempDirectory("graft-delta-pipe").toString
+    def go(delta: org.apache.spark.sql.DataFrame, w: String = work,
+        onStage: String => Unit = _ => (),
+        del: Option[org.apache.spark.sql.DataFrame] = None) =
+      TrainingPipeline.runDelta(delta, "doc_id", "text", w,
+        schema = spec, probe = Some((probe, "pid", "ptext")),
+        embCol = Some("emb"), deletions = del,
+        minhashThreshold = 0.8, maxTopWordPct = 60,
+        semanticThreshold = 0.99, numCells = 4, ivfIters = 2, ivfSampleSize = 16,
+        onStageComputed = onStage)
+
+    val r1 = go(d1)
+    val r2 = go(d2)
+    assert(r1.report.exactDups === 1 && r1.report.nearDups === 1) // 21; 22
+    assert(r1.report.lowQuality === 1 && r1.report.semanticDups === 0)
+    assert(r2.report.invalid === 1)                               // 126
+    assert(r2.report.nearDups === 3)                              // 121, 122, 123
+    assert(r2.report.contaminated === 1 && r2.report.semanticDups === 1) // 125; 124
+    val out1 = r1.corpus.select($"doc_id").as[Long].collect().toSet
+    val out2 = r2.corpus.select($"doc_id").as[Long].collect().toSet
+    assert(out1.intersect(out2).isEmpty)
+
+    // batch equivalence: run() over the concatenated corpus, then semantic
+    // dedup with the SAME quantizer the facade trained on snapshot 1
+    val batch = TrainingPipeline.run(d1.unionAll(d2), "doc_id", "text",
+      schema = spec, probe = Some((probe, "pid", "ptext")),
+      minhashThreshold = 0.8, maxTopWordPct = 60)
+    val cents = Similarity.ivfLoadCentroids(spark, s"$work/ivfidx")
+    val batchIds = Similarity.semanticDedup(batch.corpus, "doc_id", "emb", cents, 0.99)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out1.union(out2) === batchIds)
+    batch.unpersist()
+
+    // the MinHash index holds exactly the lexical-dedup survivors (valid,
+    // exact- and near-deduped — BEFORE decontam/quality, the batch-
+    // equivalence choice), the IVF index exactly the final survivors
+    val mhIds = Dedup.minhashIndexLoad(spark, s"$work/mhidx")._1
+      .select($"id").as[Long].collect().toSet
+    val lexSurvivors = ((1L to 20L).toSet ++ (101L to 110L).toSet + 23L + 124L + 125L)
+    assert(mhIds === lexSurvivors)
+    val ivfIds = spark.read.parquet(s"$work/ivfidx/cells")
+      .select($"id").as[Long].collect().toSet
+    assert(ivfIds === out1.union(out2))
+
+    // byte-identical replay of an earlier snapshot: all stages load, same
+    // survivors, indexes untouched
+    val again = go(d1)
+    assert(again.stages.forall(_.loaded))
+    assert(again.corpus.select($"doc_id").as[Long].collect().toSet === out1)
+    assert(Dedup.minhashIndexLoad(spark, s"$work/mhidx")._1.count() === mhIds.size)
+
+    // kill at the lexdedup boundary in a fresh work dir; resume loads the
+    // committed prefix and recomputes the rest; result identical
+    val work2 = java.nio.file.Files.createTempDirectory("graft-delta-pipe2").toString
+    val killed = intercept[RuntimeException] {
+      go(d1, w = work2, onStage = n => if (n.endsWith("_lexdedup")) throw new RuntimeException("kill"))
+    }
+    assert(killed.getMessage === "kill")
+    val resumed = go(d1, w = work2)
+    val loadedNames = resumed.stages.collect { case s if s.loaded => s.name.split("_").last }
+    assert(loadedNames === Seq("prepare", "lexdedup"))
+    assert(resumed.report === r1.report)
+    assert(resumed.corpus.select($"doc_id").as[Long].collect().toSet === out1)
+
+    // deletion: withdraw doc 4 -> both indexes compact -> a fresh near-copy
+    // of 4 now SURVIVES (stale signatures can no longer win)
+    val d3 = df(Seq((201L, text(4, " xq7 xq8"), "en", 201L)))
+    val r3 = go(d3, del = Some(Seq(4L).toDF("doc_id")))
+    assert(r3.corpus.select($"doc_id").as[Long].collect().toSet === Set(201L))
+    assert(!Dedup.minhashIndexLoad(spark, s"$work/mhidx")._1
+      .select($"id").as[Long].collect().toSet.contains(4L))
+  }
+
   test("hash split: deterministic, repartition-stable, weights approximately honored") {
     import graft.ops.Sharding
     val split = Sharding.hashSplit(docs, "doc_id",

@@ -427,6 +427,13 @@ object SparkEntry {
       Checks.functionalDependencyViolations(
         t(s, dir, "orders"), Seq("o_custkey"), "o_orderpriority")),
 
+    // The actionable half of q_fd_check: rewrite minority deps to the
+    // majority, full table out, dep type preserved.
+    "q_fd_repair" -> ((s, dir) =>
+      Checks.functionalDependencyRepair(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        Seq("o_custkey"), "o_orderpriority")),
+
     // ---- N7 drift histograms --------------------------------------------------------------------------------
     "q_drift_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1033,6 +1040,22 @@ object SparkEntry {
                 dep AS majority_dep, CAST(cnt AS BIGINT) AS majority_cnt,
                 CAST(grp_rows - cnt AS BIGINT) AS minority_rows
          FROM mj WHERE rn = 1 AND distinct_deps > 1""",
+
+    "q_fd_repair" ->
+      """WITH pc AS (
+           SELECT o_custkey, o_orderpriority AS dep, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         mj AS (
+           SELECT o_custkey, dep,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, dep ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_custkey) AS dd
+           FROM pc)
+         SELECT o.o_orderkey, o.o_custkey,
+                CASE WHEN m.o_custkey IS NOT NULL THEN m.dep
+                     ELSE o.o_orderpriority END AS o_orderpriority
+         FROM orders o
+         LEFT JOIN (SELECT o_custkey, dep FROM mj WHERE rn = 1 AND dd > 1) m
+           USING (o_custkey)""",
 
     "q_drift_hist" ->
       """SELECT b.lang, b.base_cnt, COALESCE(c.cur_cnt, 0) AS cur_cnt

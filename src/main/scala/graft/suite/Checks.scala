@@ -365,4 +365,40 @@ object Checks {
         (-col("mj.neg_cnt")).cast(LongType).as("majority_cnt"),
         (col("grp_rows") + col("mj.neg_cnt")).cast(LongType).as("minority_rows"))
   }
+
+  /** The REPAIR projection for [[functionalDependencyViolations]]: every row
+    * whose determinant group violates the dependency gets `depCol` rewritten
+    * to the group's majority value (same deterministic tie-break: count desc,
+    * string form asc); rows in satisfying groups pass through untouched.
+    * Output schema == input schema (`depCol` keeps its original type — the
+    * majority is carried as the TYPED value through the struct-min, never
+    * round-tripped through its string form).
+    *
+    * Scale model: the majority frame holds only VIOLATING keys (∝ violations,
+    * not table size — usually broadcast-sized, AQE decides), joined back on
+    * the composite key string; the rewrite itself is a single `when`
+    * projection. A null majority (nulls are the most common dep in the group)
+    * rewrites minority rows to null — presence is signalled by a flag column,
+    * not by the value, so a left-join miss is never confused with it. */
+  def functionalDependencyRepair(
+      df: DataFrame, detCols: Seq[String], depCol: String): DataFrame = {
+    val keyStr = compositeKey(detCols)
+    val depStr = coalesce(col(depCol).cast(StringType), lit(NullCategoryKey))
+    val majority = df
+      .groupBy(keyStr.as("__fd_key"), depStr.as("dep_s"), col(depCol).as("dep_v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("__fd_key")
+      .agg(
+        count(lit(1)).as("distinct_deps"),
+        min(struct((-col("cnt")).as("neg_cnt"), col("dep_s").as("ds"),
+          col("dep_v").as("dv"))).as("mj"))
+      .filter(col("distinct_deps") > 1)
+      .select(col("__fd_key"), col("mj.dv").as("__fd_majority"),
+        lit(true).as("__fd_hit"))
+    df.withColumn("__fd_key", keyStr)
+      .join(majority, Seq("__fd_key"), "left")
+      .withColumn(depCol,
+        when(col("__fd_hit"), col("__fd_majority")).otherwise(col(depCol)))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

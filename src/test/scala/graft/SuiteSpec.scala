@@ -146,6 +146,29 @@ class SuiteSpec extends SparkSpec {
     assert(Checks.functionalDependencyViolations(df.na.drop(), Seq("repo", "lang"), "lang").isEmpty)
   }
 
+  test("N13 FD repair: minority rows rewritten to typed majority, null majority wins, holds untouched") {
+    // repo1 holds; repo2 majority = null (3 null / 2 scala); repo3 tie -> asc
+    // min "java"; dep is an INT column in the second frame (type preserved)
+    val df = Seq(("repo1", Some("scala")), ("repo1", Some("scala")),
+      ("repo2", None: Option[String]), ("repo2", None), ("repo2", None),
+      ("repo2", Some("scala")), ("repo2", Some("scala")),
+      ("repo3", Some("scala")), ("repo3", Some("java")))
+      .toDF("repo", "lang")
+    val fixed = Checks.functionalDependencyRepair(df, Seq("repo"), "lang")
+    assert(fixed.columns.toSeq === df.columns.toSeq)
+    val byRepo = fixed.as[(String, Option[String])].collect().groupBy(_._1)
+    assert(byRepo("repo1").map(_._2).toSet === Set(Some("scala")))
+    assert(byRepo("repo2").map(_._2).toSet === Set(None)) // null IS the majority
+    assert(byRepo("repo3").map(_._2).toSet === Set(Some("java")))
+    // repaired frame satisfies the dependency
+    assert(Checks.functionalDependencyViolations(fixed, Seq("repo"), "lang").isEmpty)
+    // non-string dep keeps its type (no string round-trip)
+    val ints = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 7)).toDF("k", "v")
+    val fi = Checks.functionalDependencyRepair(ints, Seq("k"), "v")
+    assert(fi.schema("v").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(fi.as[(String, Int)].collect().toSet === Set(("a", 1), ("b", 7)))
+  }
+
   test("N13/N12 composite keys: null det segments do NOT collide across positions") {
     // ('a', null) vs (null, 'a') — concat_ws alone would key both to "a".
     // Each tuple's dep is consistent, so a collision would FABRICATE a

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *   [--dim /data/repo_commits]     \   // optional referential dim (repo, commit)
   *   [--profile repo,lang,content]  \   // optional profiling columns
   *   [--unique repo,path,commit]    \   // optional uniqueness key
-  *   [--fd repo:lang]                   // optional functional-dependency check (det[,det]:dep)
+  *   [--fd repo:lang]               \   // optional functional-dependency check (det[,det]:dep)
+  *   [--bucketed-table graft_code]  \   // bucketed suite staging -> exchange-free keyed checks
+  *   [--bucket-keys commit]             // its bucket key(s); default commit
   * }}}
   *
   * Scale shape: staging is one partitioned write (+ a narrow fingerprint
@@ -37,7 +39,9 @@ object RunValidation {
       incremental: Boolean = false, restage: Boolean = false,
       dim: Option[String] = None,
       profileCols: Seq[String] = Nil, uniqueKeys: Seq[String] = Nil,
-      fd: Option[(Seq[String], String)] = None)
+      fd: Option[(Seq[String], String)] = None,
+      bucketedTable: Option[String] = None,
+      bucketKeys: Seq[String] = Seq("commit"))
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -49,6 +53,8 @@ object RunValidation {
       case "--dim" :: v :: t => loop(a.copy(dim = Some(v)), t)
       case "--profile" :: v :: t => loop(a.copy(profileCols = v.split(",").toSeq), t)
       case "--unique" :: v :: t => loop(a.copy(uniqueKeys = v.split(",").toSeq), t)
+      case "--bucketed-table" :: v :: t => loop(a.copy(bucketedTable = Some(v)), t)
+      case "--bucket-keys" :: v :: t => loop(a.copy(bucketKeys = v.split(",").toSeq), t)
       case "--fd" :: v :: t =>
         v.split(":") match {
           case Array(dets, dep) if dets.nonEmpty && dep.nonEmpty =>
@@ -157,6 +163,30 @@ object RunValidation {
           s"cannot verify --buckets ${a.buckets} matches the staged layout; --restage to record it")
     }
 
+    // optional bucketed suite staging: one extra bucketed+sorted copy of the
+    // snapshot (and the distinct dim keys), so every keyed suite check below
+    // satisfies its distribution straight off the scan — at 10^12 rows the
+    // one-time write replaces a full shuffle in EVERY subsequent keyed pass.
+    // The catalog entry does not outlive the session; later invocations
+    // re-attach the existing files via CREATE TABLE ... LOCATION.
+    a.bucketedTable.foreach { tbl =>
+      val bdir = s"${a.work}/bucketed"
+      if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(bdir)))
+        graft.io.BucketedStage.stage(
+          spark.read.parquet(staging), a.bucketKeys, a.buckets, tbl, Some(bdir))
+      else if (!spark.catalog.tableExists(tbl))
+        attachBucketed(spark, tbl, bdir, a.bucketKeys, a.buckets)
+      a.dim.foreach { d =>
+        val ddir = s"${a.work}/bucketed_dim"
+        if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(ddir)))
+          graft.io.BucketedStage.stage(
+            spark.read.parquet(d).select("commit").distinct(), Seq("commit"),
+            a.buckets, bucketedDimTable(tbl), Some(ddir))
+        else if (!spark.catalog.tableExists(bucketedDimTable(tbl)))
+          attachBucketed(spark, bucketedDimTable(tbl), ddir, Seq("commit"), a.buckets)
+      }
+    }
+
     def process(in: DataFrame): DataFrame =
       Validator.validate(CodeTable.codeSchema,
         in.withColumn("sha_fixture", col("content_sha256"))).violations
@@ -170,7 +200,7 @@ object RunValidation {
         CheckpointedRunner.run(spark, staging, manifest, outDir,
           a.buckets, process, sortCols, runId, keys)
 
-    val staged = spark.read.parquet(staging)
+    val staged = a.bucketedTable.fold(spark.read.parquet(staging))(spark.table)
     val extras = scala.collection.mutable.ListBuffer.empty[String]
     if (a.profileCols.nonEmpty) {
       val prof = Checks.profile(staged, a.profileCols).collect()
@@ -178,7 +208,7 @@ object RunValidation {
       extras += s""""profile":{${prof.mkString(",")}}"""
     }
     if (a.uniqueKeys.nonEmpty)
-      extras += s""""duplicate_keys":${Checks.uniqueness(staged, a.uniqueKeys).count()}"""
+      extras += s""""duplicate_keys":${suiteUniqueness(staged, a).count()}"""
     a.fd.foreach { case (dets, dep) =>
       // violating-group count + total minority rows (the repair cost) — the
       // full group list stays distributed; the summary line carries totals
@@ -189,10 +219,7 @@ object RunValidation {
       extras += s""""fd_violating_groups":${fdAgg.getLong(0)},"fd_minority_rows":${fdAgg.getLong(1)}"""
     }
     a.dim.foreach { d =>
-      val dangling = Checks.referentialViolations(
-        staged, Seq("commit"), spark.read.parquet(d), Seq("commit"),
-        broadcastDim = true, keyCols = keys).count()
-      extras += s""""dangling_refs":$dangling"""
+      extras += s""""dangling_refs":${suiteReferential(spark, staged, a, d).count()}"""
     }
 
     val manifestDf = spark.read.schema(CheckpointedRunner.manifestSchema).parquet(manifest)
@@ -208,6 +235,46 @@ object RunValidation {
     println(json)
     json
   }
+
+  private[graft] def bucketedDimTable(tbl: String): String = s"${tbl}_dim"
+
+  /** Re-register an existing bucketed layout in a fresh session's catalog
+    * (saveAsTable metadata does not outlive the session) — DDL over the
+    * files, no data movement. */
+  private def attachBucketed(spark: SparkSession, tbl: String, dir: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    val ddl = spark.read.parquet(dir).schema.toDDL
+    val ks = keys.mkString(", ")
+    spark.sql(s"CREATE TABLE $tbl ($ddl) USING parquet CLUSTERED BY ($ks) " +
+      s"SORTED BY ($ks) INTO $buckets BUCKETS LOCATION '$dir'")
+  }
+
+  /** Uniqueness extra: over a bucketed staging whose bucket keys are a subset
+    * of the unique keys, the direct groupBy satisfies its distribution off
+    * the scan (NO shuffle); otherwise the 8-byte-hash pre-screen path. */
+  private[graft] def suiteUniqueness(staged: DataFrame, a: Args): DataFrame =
+    if (a.bucketedTable.isDefined && a.bucketKeys.forall(a.uniqueKeys.contains))
+      Checks.uniquenessPrePartitioned(staged, a.uniqueKeys)
+    else Checks.uniqueness(staged, a.uniqueKeys)
+
+  /** Referential extra: when the staging is bucketed ON the fk, the dim keys
+    * were staged co-bucketed and the anti-join consumes both scans' bucketing
+    * (no exchange; plain `===` keys — `commit` is NOT NULL in this table, and
+    * a null fk would be correctly reported dangling). Otherwise the
+    * broadcast-dim path. */
+  private[graft] def suiteReferential(
+      spark: SparkSession, staged: DataFrame, a: Args, dimPath: String): DataFrame =
+    a.bucketedTable match {
+      case Some(tbl) if a.bucketKeys == Seq("commit") =>
+        Checks.referentialViolations(
+          staged, Seq("commit"), spark.table(bucketedDimTable(tbl)), Seq("commit"),
+          broadcastDim = false, keyCols = keys,
+          dimIsDistinct = true, nullSafeKeys = false)
+      case _ =>
+        Checks.referentialViolations(
+          staged, Seq("commit"), spark.read.parquet(dimPath), Seq("commit"),
+          broadcastDim = true, keyCols = keys)
+    }
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)

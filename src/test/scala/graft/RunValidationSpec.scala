@@ -87,4 +87,52 @@ class RunValidationSpec extends SparkSpec {
     }
     assert(niErr.getMessage.contains("--incremental"), niErr.getMessage)
   }
+
+  test("CLI --bucketed-table: suite extras plan exchange-free; summary values match the default path; re-attach after catalog loss") {
+    val root = tmp()
+    val input = s"$root/input"; val dim = s"$root/dim"
+    val df = CodeTable.withPlantedDuplicates(CodeTable.generate(spark, 3000), 3200)
+    df.write.mode("overwrite").parquet(input)
+    CodeTable.dimRepoCommits(df).write.mode("overwrite").parquet(dim)
+    def args(work: String, bucketed: Boolean) = RunValidation.parse(
+      Array("--input", input, "--work", work, "--buckets", "8",
+        "--dim", dim, "--unique", "repo,path,commit") ++
+        (if (bucketed) Array("--bucketed-table", "graft_cli_bucketed") else Array.empty[String]))
+    def field(j: String, k: String) = j.split(s""""$k":""")(1).split("[,}]")(0).toLong
+    try {
+      val plain = RunValidation.run(spark, args(s"$root/work_plain", bucketed = false))
+      val b = args(s"$root/work_b", bucketed = true)
+      assert(b.bucketKeys === Seq("commit")) // default serves both extras
+      val bucketed = RunValidation.run(spark, b)
+      // identical suite answers through the exchange-free paths
+      assert(field(bucketed, "duplicate_keys") === field(plain, "duplicate_keys"))
+      assert(field(bucketed, "dangling_refs") === field(plain, "dangling_refs"))
+      assert(field(bucketed, "duplicate_keys") > 0 && field(bucketed, "dangling_refs") > 0)
+      // the extras' executed plans over the bucketed staging carry NO
+      // Exchange (broadcast disabled: at 10^12 rows neither side broadcasts)
+      val staged = spark.table("graft_cli_bucketed")
+      val pu = RunValidation.suiteUniqueness(staged, b)
+        .queryExecution.executedPlan.toString
+      assert(!pu.contains("Exchange"), s"bucketed uniqueness must not shuffle:\n$pu")
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val pr = RunValidation.suiteReferential(spark, staged, b, dim)
+          .queryExecution.executedPlan.toString
+        assert(!pr.contains("Exchange"), s"co-bucketed referential must not shuffle:\n$pr")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      // catalog loss (new session): tables re-attach from the existing files,
+      // same answers, no re-write of the staged layout
+      spark.sql("DROP TABLE graft_cli_bucketed")
+      spark.sql("DROP TABLE graft_cli_bucketed_dim")
+      val mtime = new java.io.File(s"$root/work_b/bucketed").lastModified
+      val again = RunValidation.run(spark, b)
+      assert(field(again, "duplicate_keys") === field(plain, "duplicate_keys"))
+      assert(field(again, "dangling_refs") === field(plain, "dangling_refs"))
+      assert(new java.io.File(s"$root/work_b/bucketed").lastModified === mtime)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cli_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_cli_bucketed_dim")
+    }
+  }
 }

@@ -595,7 +595,7 @@ object Dedup {
     * [[deltaDedupIndexed]]. */
   def minhashIndexBuild(
       df: DataFrame, idCol: String, textCol: String, indexDir: String,
-      p: MinhashIndexParams = MinhashIndexParams()): Unit = {
+      p: MinhashIndexParams = MinhashIndexParams(), epoch: Long = 0L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -609,6 +609,9 @@ object Dedup {
       Seq((p.shingleN, p.numHashes, p.bands, p.seed, p.portable, p.numBuckets, idType))
         .toDF("shingle_n", "num_hashes", "bands", "seed", "portable", "num_buckets", "id_type")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_params")
+      // pass `epoch` = the corpus manifest epoch when building under a corpus
+      // that already saw deletion passes — a fresh index is NOT stale
+      IndexVersions.record(spark, indexDir, epoch, "build", sigs.count())
     } finally releaseCheckpointsSince(spark.sparkContext, before)
   }
 
@@ -658,6 +661,8 @@ object Dedup {
       // dropDuplicates collapses)
       writeSigs(sigs, s"$indexDir/sigs", p, "append")
       writeBands(bandRows(sigs, p), s"$indexDir/bands", p, "append")
+      IndexVersions.record(spark, indexDir,
+        IndexVersions.epoch(spark, indexDir), "append", sigs.count())
     } finally releaseCheckpointsSince(spark.sparkContext, before)
   }
 
@@ -669,9 +674,16 @@ object Dedup {
     * to a sibling directory and swaps it in (an in-place overwrite would
     * read its own input mid-write); the params sidecar is untouched. */
   def minhashIndexCompact(
-      keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
+      keepIds: DataFrame, idCol: String, indexDir: String,
+      epoch: Option[Long] = None): Unit = {
     val spark = keepIds.sparkSession
     recoverIndex(spark, indexDir)
+    // resolve the target epoch up front: a re-delivered compaction records
+    // the SAME epoch again (idempotent max), a regression is refused
+    val cur = IndexVersions.epoch(spark, indexDir)
+    val target = epoch.getOrElse(cur + 1)
+    require(target >= cur,
+      s"compaction epoch $target would regress the index at $indexDir (currently $cur)")
     val (_, idType) = loadIndexMeta(spark, indexDir)
     val keep = keepIds.select(col(idCol).as("id"))
     // bands first, sigs second: between the two swaps, stale SIG rows may
@@ -691,6 +703,8 @@ object Dedup {
       spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
         .join(keep, Seq("id"), "left_semi")
         .dropDuplicates("id"), "id_bucket", "id")
+    IndexVersions.record(spark, indexDir, target, "compact",
+      spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs").count())
   }
 
   /** Rewrite `kept` into `<live>_compacting` (partitioned by `partCol`, the

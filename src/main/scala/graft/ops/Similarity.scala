@@ -204,7 +204,7 @@ object Similarity {
     * silently fork it). */
   def ivfBuildIndexWith(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
-      centroids: Seq[Seq[Double]]): Unit = {
+      centroids: Seq[Seq[Double]], epoch: Long = 0L): Unit = {
     ivfAssign(df, idCol, embCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -212,6 +212,8 @@ object Similarity {
     import spark.implicits._
     Seq(json).toDF("centroids").coalesce(1)
       .write.mode("overwrite").json(s"$indexDir/centroids")
+    IndexVersions.record(spark, indexDir, epoch, "build",
+      spark.read.parquet(s"$indexDir/cells").count())
   }
 
   def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
@@ -796,6 +798,8 @@ object Similarity {
     val centroids = ivfLoadCentroids(df.sparkSession, indexDir)
     ivfAssign(df, idCol, embCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    IndexVersions.record(df.sparkSession, indexDir,
+      IndexVersions.epoch(df.sparkSession, indexDir), "append", df.count())
   }
 
   /** Compact a persisted IVF index to the ids in `keepIds` — the
@@ -805,9 +809,14 @@ object Similarity {
     * sibling directory and swaps; centroids are untouched (compaction never
     * re-trains the quantizer). */
   def ivfIndexCompact(
-      keepIds: DataFrame, idCol: String, indexDir: String): Unit = {
+      keepIds: DataFrame, idCol: String, indexDir: String,
+      epoch: Option[Long] = None): Unit = {
     val spark = keepIds.sparkSession
     Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
+    val cur = IndexVersions.epoch(spark, indexDir)
+    val target = epoch.getOrElse(cur + 1)
+    require(target >= cur,
+      s"compaction epoch $target would regress the index at $indexDir (currently $cur)")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val tmp = s"$indexDir/cells_compacting"
     cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
@@ -820,6 +829,8 @@ object Similarity {
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
+    IndexVersions.record(spark, indexDir, target, "compact",
+      spark.read.parquet(s"$indexDir/cells").count())
   }
 
   /** [[cosineNearDupPairsLshAudited]] without the audit handle. */

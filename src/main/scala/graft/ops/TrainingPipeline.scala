@@ -508,7 +508,11 @@ object TrainingPipeline {
     * `deletions` (ids withdrawn from the corpus) COMPACT both indexes before
     * the delta is processed, so a new near-copy of a deleted document can
     * survive (stale index entries would otherwise keep winning) — run-once
-    * idempotent, not staged.
+    * idempotent, not staged. Each deletion pass bumps the corpus manifest
+    * epoch (`workDir/_corpus_epoch`) and compacts the indexes AT that epoch
+    * ([[IndexVersions]]); a delta REFUSES an index whose compaction epoch is
+    * behind the corpus epoch (e.g. a restored stale backup) instead of
+    * silently over-dropping against deleted documents' entries.
     *
     * Equivalence to the batch pipeline: feeding snapshots D1..Dn through
     * this facade yields the same survivor-id union as [[run]] over
@@ -551,22 +555,40 @@ object TrainingPipeline {
     val mhDir = s"$workDir/mhidx"
     val ivfDir = s"$workDir/ivfidx"
 
+    // corpus manifest epoch: bumped by every deletion pass, and the floor
+    // every index must have been compacted to before a delta may trust it
+    val epochFile = new org.apache.hadoop.fs.Path(workDir, "_corpus_epoch")
+    def readCorpusEpoch(): Long =
+      if (!fs.exists(epochFile)) 0L
+      else {
+        val in = fs.open(epochFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+
     // withdrawals first: compact both indexes to the surviving ids so stale
-    // entries of deleted documents can no longer win against this delta
+    // entries of deleted documents can no longer win against this delta.
+    // Order: compact AT the bumped epoch, THEN persist the bump — a kill in
+    // between leaves the indexes ahead of the corpus epoch (harmless), and a
+    // resubmission redoes the (idempotent) compaction before recording it.
     deletions.foreach { del =>
+      val target = readCorpusEpoch() + 1
       val delIds = del.select(col(idCol).as("id"))
       if (exists(s"$mhDir/_params")) {
         val keep = Dedup.minhashIndexLoad(spark, mhDir)._1.select("id")
           .join(delIds, Seq("id"), "left_anti")
-        Dedup.minhashIndexCompact(keep, "id", mhDir)
+        Dedup.minhashIndexCompact(keep, "id", mhDir, Some(target))
       }
       if (embCol.isDefined && exists(s"$ivfDir/centroids")) {
         Dedup.completeSwap(spark, s"$ivfDir/cells", s"$ivfDir/cells_compacting")
         val keep = spark.read.parquet(s"$ivfDir/cells").select("id")
           .join(delIds, Seq("id"), "left_anti")
-        Similarity.ivfIndexCompact(keep, "id", ivfDir)
+        Similarity.ivfIndexCompact(keep, "id", ivfDir, Some(target))
       }
+      val out = fs.create(epochFile, true)
+      try out.write(s"$target\n".getBytes("UTF-8")) finally out.close()
     }
+    val corpusEpoch = readCorpusEpoch()
 
     def contentFp(df: DataFrame, id: String, text: String): String = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
@@ -634,7 +656,11 @@ object TrainingPipeline {
     val lexKey = s"$baseKey|mh=$minhashParams|thr=$minhashThreshold|maxBucket=$maxBucket"
     val lexC = stage(sname("lexdedup"), lexKey, Some(lexDir)) {
       if (!exists(s"$mhDir/_params"))
-        Dedup.minhashIndexBuild(prepared.limit(0), idCol, textCol, mhDir, minhashParams)
+        Dedup.minhashIndexBuild(prepared.limit(0), idCol, textCol, mhDir,
+          minhashParams, epoch = corpusEpoch)
+      else
+        IndexVersions.requireAtLeast(spark, mhDir, corpusEpoch,
+          "MinHash signature index")
       val before = sc.getPersistentRDDs.keySet
       try {
         val audited = Dedup.deltaNearDupsIndexedAudited(
@@ -703,9 +729,12 @@ object TrainingPipeline {
                   ivfIters, ivfSampleSize)
                 (Similarity.semanticDedup(kept, idCol, ec, cents,
                   semanticThreshold, maxCell), Some(cents))
-              } else
+              } else {
+                IndexVersions.requireAtLeast(spark, ivfDir, corpusEpoch,
+                  "IVF cell index")
                 (Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
                   semanticThreshold, maxCell), None)
+              }
             survivors.select(col(idCol))
               .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
               .write.mode(SaveMode.Overwrite).parquet(semDir)
@@ -715,7 +744,7 @@ object TrainingPipeline {
             bootstrapped.foreach { cents =>
               Similarity.ivfBuildIndexWith(
                 kept.join(idSet(semDir), Seq(idCol), "left_semi"),
-                idCol, ec, ivfDir, cents)
+                idCol, ec, ivfDir, cents, epoch = corpusEpoch)
             }
             Map("n_sem_keep" -> idSet(semDir).count(),
               "bootstrapped" -> (if (bootstrapped.isDefined) 1L else 0L))

@@ -871,6 +871,27 @@ class OpsSpec extends SparkSpec {
     assert(r3.corpus.select($"doc_id").as[Long].collect().toSet === Set(201L))
     assert(!Dedup.minhashIndexLoad(spark, s"$work/mhidx")._1
       .select($"id").as[Long].collect().toSet.contains(4L))
+
+    // lifecycle epochs: the deletion pass advanced the corpus manifest epoch
+    // and both indexes' compaction epochs together
+    import graft.ops.IndexVersions
+    assert(IndexVersions.epoch(spark, s"$work/mhidx") === 1L)
+    assert(IndexVersions.epoch(spark, s"$work/ivfidx") === 1L)
+    // an index older than the corpus manifest epoch (a restored stale
+    // backup) is REFUSED, not silently trusted
+    val ep = new org.apache.hadoop.fs.Path(s"$work/_corpus_epoch")
+    val hfs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ef = hfs.create(ep, true); ef.write("2\n".getBytes("UTF-8")); ef.close()
+    val stale = intercept[IllegalArgumentException] {
+      go(df(Seq((301L, text(301), "en", 301L))))
+    }
+    assert(stale.getMessage.contains("compaction epoch"), stale.getMessage)
+    // a deletions pass (even an empty one) re-compacts at the current epoch
+    // and heals the refusal
+    val r4 = go(df(Seq((301L, text(301), "en", 301L))),
+      del = Some(Seq.empty[Long].toDF("doc_id")))
+    assert(r4.corpus.select($"doc_id").as[Long].collect().toSet === Set(301L))
+    assert(IndexVersions.epoch(spark, s"$work/mhidx") === 3L)
   }
 
   test("hash split: deterministic, repartition-stable, weights approximately honored") {

@@ -590,6 +590,25 @@ object SparkEntry {
         threshold = 0.35, maxCell = 4096)
     }),
 
+    // ---- dedup: PQ-coded semantic delta (ADC candidates + exact refine) --------------------------------------------------
+    // The old side is scored as PQ codes (8 B) through per-new-row ADC
+    // tables, floored at threshold - margin; candidates then re-check at
+    // exact cosine. iters=0 quantizers (coarse: old's 64 smallest ids; PQ:
+    // old's 16 smallest) so DuckDB rebuilds cells, codes, ADC tables, and
+    // the floor compare bit-for-bit.
+    "q_dedup_semantic_delta_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 3 =!= 0)
+      val nw = e.filter(col("vec_id") % 3 === 0)
+      val centroids = Similarity.ivfTrain(old, "vec_id", "embedding", k = 64, iters = 0,
+        sampleSize = 64, sampleByHash = false)
+      val codebooks = Similarity.pqTrain(old, "vec_id", "embedding", m = 8, kSub = 16,
+        iters = 0, sampleSize = 16, sampleByHash = false)
+      Similarity.semanticDeltaPairsPq(nw, "vec_id", "embedding", old,
+        centroids, codebooks, threshold = 0.35, maxCell = 4096,
+        adcMargin = PqDeltaMargin).pairs
+    }),
+
     // ---- similarity: brute-force cosine top-k ------------------------------------------------------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1240,6 +1259,69 @@ object SparkEntry {
         AND list_dot_product(a.e, b.e) /
               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35""",
 
+    // PQ semantic delta recomputed verbatim: coarse centroids = unit vectors
+    // of the 64 smallest OLD ids; codebooks = 8-dim subvector slices of the
+    // unit 16 smallest OLD ids (iters=0); old codes = per-subspace L2 argmin
+    // (ties smallest j); new-side ADC table = per-subspace dots of the unit
+    // NEW vector against the codebooks. Candidates = same-cell (new, old)
+    // pairs whose 8-term ADC sum (per-subspace sums first, then the m-term
+    // total — the engine's grouping) clears threshold - margin; the floor
+    // literal interpolated below IS the Scala double the engine compares
+    // against. Candidates then re-check at exact cosine; new-new pairs skip
+    // ADC (exact cosine within shared cells, both vectors ride the delta).
+    "q_dedup_semantic_delta_pq" -> {
+      val dist = (1 to 8).map(i => s"(su[$i]-cs[$i])*(su[$i]-cs[$i])").mkString(" + ")
+      val dotN = (1 to 8).map(i => s"su[$i]*cs[$i]").mkString(" + ")
+      val wide = (0 until 8).map(m => s"max(CASE WHEN mi=$m THEN t END) AS t$m").mkString(", ")
+      val score = (0 until 8).map(m => s"t$m").mkString(" + ")
+      val floor = 0.35 - PqDeltaMargin
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ev),
+      uv AS (SELECT vec_id, e, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u FROM nv),
+      cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell, u AS cu
+               FROM (SELECT vec_id, u FROM uv WHERE vec_id % 3 <> 0 ORDER BY vec_id ASC LIMIT 64)),
+      assign AS (SELECT vec_id, e, u, cell FROM (
+                   SELECT uv.vec_id, uv.e, uv.u, cent.cell,
+                          row_number() OVER (PARTITION BY uv.vec_id
+                            ORDER BY list_dot_product(uv.e, cent.cu) DESC, cent.cell DESC) AS rn
+                   FROM uv CROSS JOIN cent) WHERE rn = 1),
+      kept AS (SELECT cell FROM assign WHERE vec_id % 3 <> 0 GROUP BY cell HAVING count(*) <= 4096),
+      cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS j, u AS cu
+             FROM (SELECT vec_id, u FROM uv WHERE vec_id % 3 <> 0 ORDER BY vec_id ASC LIMIT 16)),
+      ms AS (SELECT CAST(t.range AS INTEGER) AS mi FROM range(8) t),
+      csub AS (SELECT j, mi, cu[mi*8+1 : mi*8+8] AS cs FROM cb, ms),
+      osub AS (SELECT vec_id, mi, u[mi*8+1 : mi*8+8] AS su FROM uv, ms WHERE vec_id % 3 <> 0),
+      enc AS (SELECT vec_id, mi, j AS code FROM (
+                SELECT osub.vec_id, osub.mi, csub.j,
+                       row_number() OVER (PARTITION BY osub.vec_id, osub.mi
+                         ORDER BY $dist ASC, csub.j ASC) AS rn
+                FROM osub JOIN csub USING (mi)) WHERE rn = 1),
+      nsub AS (SELECT vec_id, mi, u[mi*8+1 : mi*8+8] AS su FROM uv, ms WHERE vec_id % 3 = 0),
+      tbl AS (SELECT nsub.vec_id, nsub.mi, csub.j, $dotN AS t FROM nsub JOIN csub USING (mi)),
+      pairs AS (SELECT n.vec_id AS id_new, o.vec_id AS id_old
+                FROM assign n JOIN assign o ON n.cell = o.cell
+                JOIN kept k ON k.cell = o.cell
+                WHERE n.vec_id % 3 = 0 AND o.vec_id % 3 <> 0),
+      pick AS (SELECT p.id_new, p.id_old, e.mi, t.t
+               FROM pairs p
+               JOIN enc e ON e.vec_id = p.id_old
+               JOIN tbl t ON t.vec_id = p.id_new AND t.mi = e.mi AND t.j = e.code),
+      adc AS (SELECT id_new, id_old, $score AS s
+              FROM (SELECT id_new, id_old, $wide FROM pick GROUP BY id_new, id_old)),
+      newold AS (SELECT c.id_new AS id_a, c.id_old AS id_b, TRUE AS a_is_new, FALSE AS b_is_new
+                 FROM adc c JOIN ev a ON a.vec_id = c.id_new JOIN ev b ON b.vec_id = c.id_old
+                 WHERE c.s >= $floor
+                   AND list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35),
+      newnew AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS a_is_new, TRUE AS b_is_new
+                 FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
+                   AND list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35)
+      SELECT id_a, id_b, a_is_new, b_is_new FROM newold
+      UNION ALL SELECT id_a, id_b, a_is_new, b_is_new FROM newnew"""
+    },
+
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
            scored AS (
@@ -1578,6 +1660,11 @@ object SparkEntry {
 
   /** probeHamming used by both the q_ann_lsh query and its oracle. */
   val LshProbeHamming = 3
+
+  /** q_dedup_semantic_delta_pq's ADC margin. The floor literal interpolated
+    * into the oracle SQL is the SAME Scala double the operator computes
+    * (threshold - margin), so the boundary compare agrees bit-for-bit. */
+  val PqDeltaMargin = 0.15
 
   /** Parse a 15-char lowercase-hex SQL expression to a 60-bit BIGINT in DuckDB
     * (no conv() there): fold digits via list_reduce with a prepended 0 seed. */

@@ -266,11 +266,27 @@ object Similarity {
       nearestCentroid(col(embCol), centroids).as("cell"),
       graft.functions.PqEncode(col(embCol), codebooks).as("codes"))
 
+  /** [[ivfPqEncode]] that keeps the raw vector alongside the codes — the
+    * persisted-index projection (columnar storage: `codes` scans skip it). */
+  private def ivfPqEncodeWithEmb(
+      df: DataFrame, idCol: String, embCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(col(embCol), centroids).as("cell"),
+      graft.functions.PqEncode(col(embCol), codebooks).as("codes"))
+
   /** Build + persist the IVF-PQ index: cell-partitioned codes (queries
     * partition-prune to their nprobe cells AND read 8-byte codes instead of
     * vectors — the two compressions compose on disk too), coarse centroids
     * as JSON (same layout [[ivfLoadCentroids]] reads), and the PQ codebooks
-    * as a tiny (m x kSub)-row parquet. Train once, query forever. */
+    * as a tiny (m x kSub)-row parquet. Train once, query forever.
+    *
+    * The cell files ALSO carry the raw vector column, sorted by id within
+    * each cell partition: parquet is columnar, so scans that select `codes`
+    * never read a byte of `emb` (PlanSpec pins the pruned ReadSchema), while
+    * refine steps ([[semanticDeltaPairsPqIndexed]]) can fetch full-precision
+    * vectors for just their candidate ids with tight row-group min/max
+    * skipping — the FAISS IVFPQR shape: disk is cheap, scan bytes are not. */
   def ivfPqBuildIndex(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
       numCells: Int = 16, m: Int = 8, kSub: Int = 16, iters: Int = 3,
@@ -278,7 +294,8 @@ object Similarity {
       sampleByHash: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
     val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize, sampleByHash)
-    ivfPqEncode(df, idCol, embCol, centroids, codebooks)
+    ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
+      .repartition(col("cell")).sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     val spark = df.sparkSession
     import spark.implicits._
@@ -289,6 +306,8 @@ object Similarity {
       cents.zipWithIndex.map { case (c, j) => (mi, j, c) }
     }.toDF("mi", "j", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    IndexVersions.record(spark, indexDir, 0L, "build",
+      spark.read.parquet(s"$indexDir/cells").count())
     (centroids, codebooks)
   }
 
@@ -774,6 +793,187 @@ object Similarity {
       .filter(col("cell").isin(cells: _*))
       .select(col("id"), col("emb"), col("cell"))
     semanticDeltaPairsAudited(newAssigned, old, threshold, maxCell)
+  }
+
+  private val pqAuditSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Delta pairs against a PERSISTED IVF-PQ index ([[ivfPqBuildIndex]]
+    * layout) — the 32x-cheaper old side: the CANDIDATE scan reads the
+    * corpus as 8-byte PQ `codes` partition-pruned to the delta's cells,
+    * never raw vectors (PlanSpec pins the pruned ReadSchema). Per delta
+    * row, ONE projection builds its ADC lookup table
+    * ([[graft.functions.PqAdcTableExpr]]); each (new, old) candidate in a
+    * shared cell then costs m table lookups instead of a dim-element dot
+    * ([[graft.functions.PqAdcScorePair]]).
+    *
+    * Two-stage precision contract (FAISS-refine shape): ADC is a RECALL
+    * stage — candidates are pairs scoring ≥ `threshold - adcMargin` (ADC
+    * under-estimates true cosine by up to the quantization error; the
+    * margin buys recall, the refine restores precision). Candidates then
+    * re-check at FULL precision: the delta's raw vector against the index's
+    * raw `emb`, fetched for just the candidate old ids — by literal id
+    * list when ≤ `maxRefineIds` distinct ids (parquet min/max row-group
+    * skipping over the id-sorted cell files), by semi-join above it. Every
+    * emitted pair is therefore exact-cosine-verified; ADC only decides what
+    * is NEVER compared, so recall is bounded by the margin (planted-twin
+    * recall pinned in OpsSpec), precision is exact. New-new pairs (both
+    * vectors ride the delta) skip ADC entirely and compare exactly within
+    * shared cells.
+    *
+    * Audit: OLD cells larger than `maxCell` are dropped from candidate
+    * generation and counted (buckets + old rows), mirroring the grouped
+    * path's cap; the delta side is never dropped. */
+  def semanticDeltaPairsPqIndexed(
+      newDf: DataFrame, idCol: String, embCol: String, indexDir: String,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket,
+      adcMargin: Double = 0.2, maxRefineIds: Int = 1 << 14,
+      // PLAN-INSPECTION seam (same contract as deltaNearDupsIndexedAudited):
+      // checkpoints truncate lineage to ExistingRDD leaves, hiding the
+      // candidate scan from executedPlan — tests disable them to pin the
+      // codes-only ReadSchema; production keeps them (frames are tiny
+      // projections of expensive scans, each read by several consumers)
+      eagerCheckpoints: Boolean = true): AuditedPairs = {
+    def cp(df: DataFrame): DataFrame =
+      if (eagerCheckpoints) df.localCheckpoint(true) else df
+    val spark = newDf.sparkSession
+    val (centroids, codebooks) = ivfPqLoadIndex(spark, indexDir)
+    // delta: cell + per-row ADC table, one checkpoint read by the cell
+    // collect, the candidate join, the refine, and the within-delta pairs
+    val newAssigned = cp(ivfAssign(newDf, idCol, embCol, centroids)
+      .withColumn("adc", graft.functions.PqAdcTableExpr(col("emb"), codebooks)))
+    val cells = newAssigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
+    val old = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id"), col("codes"), col("cell"))
+    // old-side cell-size cap + audit (the grouped path's discipline, join-shaped)
+    def aggs: Seq[Column] = Seq(
+      coalesce(sum(when(col("n") > maxCell, 1L).otherwise(0L)), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(col("n") > maxCell, col("n")).otherwise(0L)), lit(0L)).as("dropped_ids"))
+    val sizes = old.groupBy("cell").agg(count(lit(1)).as("n"))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_pq_delta_audit_${pqAuditSeq.incrementAndGet()}")
+    val keptCells = sizes.observe(obs, aggs.head, aggs.tail: _*)
+      .filter(col("n") <= maxCell).select("cell")
+    val recompute = () => {
+      val r = sizes.agg(aggs.head, aggs.tail: _*).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // candidate stage: join on cell (delta is the small side — AQE
+    // broadcasts it), ADC-floored; a resubmitted id never pairs with itself.
+    // Checkpointed: read by the refine join AND the id-collect below.
+    val newSide = newAssigned.select(
+      col("cell"), col("id").as("id_new"), col("adc"), col("emb").as("emb_new"))
+    val cand = old.join(keptCells, Seq("cell"), "left_semi")
+      .join(newSide, Seq("cell"))
+      .filter(col("id") =!= col("id_new"))
+      .filter(graft.functions.PqAdcScorePair(col("codes"), col("adc")) >= threshold - adcMargin)
+      .select(col("cell"), col("id").as("id_old"), col("id_new"), col("emb_new"))
+    val candCp = cp(cand)
+    // refine stage: full-precision cosine against the index's raw vectors,
+    // fetched for candidate ids only (literal pushdown -> row-group skipping
+    // when the id set is small; semi-join fallback keeps it distributed)
+    val candIds = candCp.select(col("id_old")).distinct()
+    val pushdown = candIds.limit(maxRefineIds + 1).count() <= maxRefineIds
+    val oldEmbAll = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id").as("id_old"), col("emb").as("emb_old"))
+    val oldEmb =
+      if (pushdown) {
+        val ids = candIds.collect().map(_.get(0))
+        oldEmbAll.filter(col("id_old").isin(ids: _*))
+      } else oldEmbAll.join(candIds, Seq("id_old"), "left_semi")
+    val newOld = candCp.join(oldEmb, Seq("id_old"))
+      .filter(cosine(col("emb_new"), col("emb_old")) >= threshold)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"),
+        lit(true).as("a_is_new"), lit(false).as("b_is_new"))
+    // new-new: exact cosine within shared cells (both raw vectors on board)
+    val a = newAssigned.select(col("cell"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = newAssigned.select(col("cell"), col("id").as("id_b"), col("emb").as("emb_b"))
+    val newNew = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), lit(true).as("a_is_new"), lit(true).as("b_is_new"))
+    AuditedPairs(newOld.unionAll(newNew), obs, recompute)
+  }
+
+  /** In-memory twin of [[semanticDeltaPairsPqIndexed]] — identical two-stage
+    * ADC-candidate + exact-refine semantics with caller-supplied quantizers
+    * over a raw old frame (encoded on the fly, no persisted index): the
+    * oracle/verification path (q_dedup_semantic_delta_pq rebuilds every
+    * stage in SQL; OpsSpec pins equality with the indexed path under the
+    * same quantizers). The persisted-index path is the 100 TB one. */
+  def semanticDeltaPairsPq(
+      newDf: DataFrame, idCol: String, embCol: String, old: DataFrame,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket,
+      adcMargin: Double = 0.2): AuditedPairs = {
+    val newAssigned = ivfAssign(newDf, idCol, embCol, centroids)
+      .withColumn("adc", graft.functions.PqAdcTableExpr(col("emb"), codebooks))
+      .localCheckpoint(true)
+    val oldEnc = ivfPqEncodeWithEmb(old, idCol, embCol, centroids, codebooks)
+      .localCheckpoint(true) // read by the size audit, candidates, and refine
+    val oldCodes = oldEnc.select(col("id"), col("codes"), col("cell"))
+    def aggs: Seq[Column] = Seq(
+      coalesce(sum(when(col("n") > maxCell, 1L).otherwise(0L)), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(col("n") > maxCell, col("n")).otherwise(0L)), lit(0L)).as("dropped_ids"))
+    val sizes = oldCodes.groupBy("cell").agg(count(lit(1)).as("n"))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_pq_delta_audit_${pqAuditSeq.incrementAndGet()}")
+    val keptCells = sizes.observe(obs, aggs.head, aggs.tail: _*)
+      .filter(col("n") <= maxCell).select("cell")
+    val recompute = () => {
+      val r = sizes.agg(aggs.head, aggs.tail: _*).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val newSide = newAssigned.select(
+      col("cell"), col("id").as("id_new"), col("adc"), col("emb").as("emb_new"))
+    val cand = oldCodes.join(keptCells, Seq("cell"), "left_semi")
+      .join(newSide, Seq("cell"))
+      .filter(col("id") =!= col("id_new"))
+      .filter(graft.functions.PqAdcScorePair(col("codes"), col("adc")) >= threshold - adcMargin)
+      .select(col("id").as("id_old"), col("id_new"), col("emb_new"))
+    val newOld = cand
+      .join(oldEnc.select(col("id").as("id_old"), col("emb").as("emb_old")), Seq("id_old"))
+      .filter(cosine(col("emb_new"), col("emb_old")) >= threshold)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"),
+        lit(true).as("a_is_new"), lit(false).as("b_is_new"))
+    val a = newAssigned.select(col("cell"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = newAssigned.select(col("cell"), col("id").as("id_b"), col("emb").as("emb_b"))
+    val newNew = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), lit(true).as("a_is_new"), lit(true).as("b_is_new"))
+    AuditedPairs(newOld.unionAll(newNew), obs, recompute)
+  }
+
+  /** [[semanticDeltaDedupIndexed]] over the IVF-PQ layout: delta survivors
+    * against the coded corpus (old wins; min-id keep among new-only
+    * clusters). Append survivors with [[ivfPqIndexAppend]]. */
+  def semanticDeltaDedupPqIndexed(
+      newDf: DataFrame, idCol: String, embCol: String, indexDir: String,
+      threshold: Double, maxCell: Int = Dedup.DefaultMaxBucket,
+      adcMargin: Double = 0.2, maxRefineIds: Int = 1 << 14): DataFrame = {
+    val pairs = semanticDeltaPairsPqIndexed(newDf, idCol, embCol, indexDir,
+      threshold, maxCell, adcMargin, maxRefineIds)
+      .pairs.localCheckpoint(true)
+    newDf.join(Dedup.deltaLosers(pairs).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Append vectors to a persisted IVF-PQ index, assigned AND encoded with
+    * the index's own stored quantizers (an append can never fork either);
+    * same (emb, codes) projection and id-sorted layout as the build. */
+  def ivfPqIndexAppend(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String): Unit = {
+    val spark = df.sparkSession
+    Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
+    val (centroids, codebooks) = ivfPqLoadIndex(spark, indexDir)
+    ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
+      .repartition(col("cell")).sortWithinPartitions("cell", "id")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    IndexVersions.record(spark, indexDir,
+      IndexVersions.epoch(spark, indexDir), "append", df.count())
   }
 
   /** The delta vectors that SURVIVE semantic dedup against the indexed

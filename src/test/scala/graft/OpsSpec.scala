@@ -439,6 +439,54 @@ class OpsSpec extends SparkSpec {
     assert(kept3 === Set(961L))
   }
 
+  test("PQ-coded semantic delta: ADC candidates + exact refine; planted twins recalled; survivors append as codes") {
+    val old = embs.select($"vec_id", $"embedding")
+    val copies = old.filter($"vec_id".isin(3L, 17L))
+      .select(when($"vec_id" === 3L, 900L).otherwise(901L).as("vec_id"), $"embedding")
+    val synth = (0 until 64).map(i => (math.sin(i * 7 + 1) * 2).toFloat)
+    val twins = Seq((950L, synth), (951L, synth)).toDF("vec_id", "embedding")
+    val delta = copies.unionAll(twins)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sem-delta-pq").toString
+    Similarity.ivfPqBuildIndex(old, "vec_id", "embedding", idx,
+      numCells = 16, m = 8, kSub = 64, iters = 3, sampleSize = 512)
+    // generous margin: these synthetic vectors are near-uniform (measured
+    // ADC self-scores of exact copies bottom out ~0.49 — the worst case for
+    // PQ); real embedding corpora sit far closer to their codebooks
+    def pairsOf(margin: Double, refine: Int = 1 << 14) = Similarity
+      .semanticDeltaPairsPqIndexed(delta, "vec_id", "embedding", idx,
+        threshold = 0.9, adcMargin = margin, maxRefineIds = refine)
+    def norm(s: Set[(Long, Long)]) =
+      s.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+    val pq = pairsOf(0.55)
+    val got = norm(pq.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    assert(got.contains((3L, 900L)) && got.contains((17L, 901L))) // ADC recall
+    assert(got.contains((950L, 951L)))                            // exact new-new
+    assert(pq.droppedBuckets === 0L)
+    // refine is exact: every emitted pair also passes the raw-vector path
+    // assigned with the SAME centroids
+    val cents = Similarity.ivfLoadCentroids(spark, idx)
+    val exact = norm(Similarity.semanticDeltaPairs(
+      Similarity.ivfAssign(delta, "vec_id", "embedding", cents),
+      Similarity.ivfAssign(old, "vec_id", "embedding", cents), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    assert(got.subsetOf(exact) && exact.nonEmpty)
+    // the semi-join refine path (no id pushdown) emits identical pairs
+    assert(norm(pairsOf(0.55, refine = 0).pairs
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet) === got)
+    // dedup semantics: old wins; min-id twin survives
+    val kept = Similarity.semanticDeltaDedupPqIndexed(delta, "vec_id", "embedding",
+      idx, threshold = 0.9, adcMargin = 0.55)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(950L))
+    // survivors append as codes (stored quantizers); the next twin loses to 950
+    Similarity.ivfPqIndexAppend(twins.filter($"vec_id" === 950L), "vec_id", "embedding", idx)
+    val kept2 = Similarity.semanticDeltaDedupPqIndexed(
+      Seq((960L, synth)).toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
+      threshold = 0.9, adcMargin = 0.55)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 === Set.empty[Long])
+  }
+
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)

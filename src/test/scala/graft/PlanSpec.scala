@@ -307,6 +307,29 @@ class PlanSpec extends SparkSpec {
       s"delta's touched cells must land in PartitionFilters:\n$scan")
   }
 
+  test("PQ semantic delta: candidate scan reads 8-byte codes (never emb); cells partition-pruned") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-sem-delta-pq-plan").toString
+    graft.ops.Similarity.ivfPqBuildIndex(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", dir,
+      numCells = 16, iters = 0, sampleSize = 16)
+    val delta = e.filter(col("vec_id") === 3).select(
+      (col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val pairs = graft.ops.Similarity.semanticDeltaPairsPqIndexed(
+      delta, "vec_id", "embedding", dir, threshold = 0.9, adcMargin = 0.9,
+      eagerCheckpoints = false).pairs
+    val scans = pairs.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("FileScan"))
+    val codeScans = scans.filter(_.contains("codes"))
+    assert(codeScans.nonEmpty, s"no codes scan in:\n${scans.mkString("\n")}")
+    // the candidate scan's ReadSchema must NOT drag the raw vectors — that
+    // column pruning IS the 32x old-side read cut
+    codeScans.foreach(s => assert(!s.contains("emb"),
+      s"candidate scan must read codes, not emb:\n$s"))
+    assert(scans.exists("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(_).isDefined),
+      s"delta's touched cells must land in PartitionFilters:\n${scans.mkString("\n")}")
+  }
+
   test("delta dedup: old bands pruned by a broadcast semi-join on the delta's bucket keys") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = graft.ops.Dedup.MinhashIndexParams(numHashes = 32, bands = 8)

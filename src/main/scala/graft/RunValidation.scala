@@ -78,6 +78,9 @@ object RunValidation {
     * stage step writes and every later run checks against `--buckets`. */
   val BucketCountFile = "_graft_buckets"
 
+  /** Bucketed-staging spec sidecar: "key1,key2|buckets". */
+  val BucketSpecFile = "_graft_bucket_spec"
+
   /** Library-callable core (main() wraps it with a session). Returns the
     * summary JSON it also prints. */
   def run(spark: SparkSession, a: Args): String = {
@@ -169,21 +172,51 @@ object RunValidation {
     // one-time write replaces a full shuffle in EVERY subsequent keyed pass.
     // The catalog entry does not outlive the session; later invocations
     // re-attach the existing files via CREATE TABLE ... LOCATION.
+    // spec sidecar per bucketed dir: re-attaching declares CLUSTERED BY to a
+    // fresh session's catalog with NO data movement, so the declared keys and
+    // count MUST be the ones the files were hashed with — a mismatch would
+    // make every exchange-free check aggregate partial per-file groups as if
+    // complete, silently (the staging dir's bucket-count guard, extended to
+    // the key set)
+    def writeBucketSpec(dir: String, keys: Seq[String], buckets: Int): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, BucketSpecFile), true)
+      try out.write(s"${keys.mkString(",")}|$buckets\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+    def requireBucketSpec(dir: String, keys: Seq[String], buckets: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, BucketSpecFile)
+      require(fs.exists(p),
+        s"$dir predates bucket-spec metadata ($BucketSpecFile missing) — " +
+          "cannot verify the layout matches --bucket-keys/--buckets; --restage to rebuild")
+      val in = fs.open(p)
+      val spec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val expect = s"${keys.mkString(",")}|$buckets"
+      require(spec == expect,
+        s"bucketed layout at $dir was staged as '$spec' but this run declares " +
+          s"'$expect' (--bucket-keys/--buckets); pass the original values or --restage")
+    }
     a.bucketedTable.foreach { tbl =>
       val bdir = s"${a.work}/bucketed"
-      if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(bdir)))
+      if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(bdir))) {
         graft.io.BucketedStage.stage(
           spark.read.parquet(staging), a.bucketKeys, a.buckets, tbl, Some(bdir))
-      else if (!spark.catalog.tableExists(tbl))
+        writeBucketSpec(bdir, a.bucketKeys, a.buckets)
+      } else if (!spark.catalog.tableExists(tbl)) {
+        requireBucketSpec(bdir, a.bucketKeys, a.buckets)
         attachBucketed(spark, tbl, bdir, a.bucketKeys, a.buckets)
+      }
       a.dim.foreach { d =>
         val ddir = s"${a.work}/bucketed_dim"
-        if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(ddir)))
+        if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(ddir))) {
           graft.io.BucketedStage.stage(
             spark.read.parquet(d).select("commit").distinct(), Seq("commit"),
             a.buckets, bucketedDimTable(tbl), Some(ddir))
-        else if (!spark.catalog.tableExists(bucketedDimTable(tbl)))
+          writeBucketSpec(ddir, Seq("commit"), a.buckets)
+        } else if (!spark.catalog.tableExists(bucketedDimTable(tbl))) {
+          requireBucketSpec(ddir, Seq("commit"), a.buckets)
           attachBucketed(spark, bucketedDimTable(tbl), ddir, Seq("commit"), a.buckets)
+        }
       }
     }
 

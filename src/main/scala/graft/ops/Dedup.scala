@@ -657,8 +657,8 @@ object Dedup {
       // sigs first, bands second: a kill in between leaves sig rows no band
       // row references — they are simply never found as candidates (bounded
       // under-dedup for ONE delta, healed when the at-least-once redelivery
-      // re-appends; duplicate rows only duplicate candidate pairs, which
-      // dropDuplicates collapses)
+      // re-appends; duplicate rows are collapsed at the delta's sig fetch
+      // and compaction restores exactly-one on disk)
       writeSigs(sigs, s"$indexDir/sigs", p, "append")
       writeBands(bandRows(sigs, p), s"$indexDir/bands", p, "append")
       IndexVersions.record(spark, indexDir,
@@ -699,12 +699,11 @@ object Dedup {
       spark.read.schema(bandsSchema(idType)).parquet(s"$indexDir/bands")
         .join(keep, Seq("id"), "left_semi")
         .dropDuplicates("id", "band_idx"), "band_bucket", "band_hash")
-    compactDir(spark, s"$indexDir/sigs",
+    val nSigs = compactDir(spark, s"$indexDir/sigs",
       spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
         .join(keep, Seq("id"), "left_semi")
         .dropDuplicates("id"), "id_bucket", "id")
-    IndexVersions.record(spark, indexDir, target, "compact",
-      spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs").count())
+    IndexVersions.record(spark, indexDir, target, "compact", nSigs)
   }
 
   /** Rewrite `kept` into `<live>_compacting` (partitioned by `partCol`, the
@@ -712,10 +711,11 @@ object Dedup {
     * tight), commit-mark it, and swap it in. */
   private def compactDir(
       spark: org.apache.spark.sql.SparkSession, liveDir: String,
-      kept: DataFrame, partCol: String, sortCol: String): Unit = {
+      kept: DataFrame, partCol: String, sortCol: String): Long = {
     val tmp = s"${liveDir}_compacting"
-    kept.repartition(col(partCol)).sortWithinPartitions(partCol, sortCol)
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val n = countingWrite(
+      kept.repartition(col(partCol)).sortWithinPartitions(partCol, sortCol))(
+      _.write.mode("overwrite").partitionBy(partCol).parquet(tmp))
     val fs = new org.apache.hadoop.fs.Path(liveDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeCommitMarker(fs, tmp)
@@ -723,6 +723,7 @@ object Dedup {
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
+    n
   }
 
   /** Graft-owned commit marker for the compact swap. Recovery must NOT key
@@ -737,6 +738,21 @@ object Dedup {
   private[graft] def writeCommitMarker(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
     fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
+
+  private val obsCountSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run `write` on `df` with a count Observation riding the SAME job, so
+    * index lifecycle records never pay a second full scan of just-written
+    * data (on a 10^12-row index the recount would double every compaction's
+    * I/O for one BIGINT field). If AQE's empty-relation propagation replaced
+    * the plan, the metrics map comes back empty — that only happens when
+    * zero rows survived, so the fallback IS the count. */
+  private[graft] def countingWrite(df: DataFrame)(write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_write_count_${obsCountSeq.incrementAndGet()}")
+    write(df.observe(obs, count(lit(1)).as("n")))
+    obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
 
   /** Unpersist every RDD that became persistent after `beforeIds` was
     * snapshotted. Eager `localCheckpoint(true)` blocks are NOT in the
@@ -938,6 +954,13 @@ object Dedup {
                          y.id AS id_b, y.is_new AS b_is_new))))"""))
         .as("q"))
       .filter(col("q.a_is_new") || col("q.b_is_new"))
+      // a resubmitted id never pairs with its own index entry — an
+      // at-least-once redelivery that recomputes this stage after its
+      // survivors were appended must keep those survivors, not drop every
+      // one as a dup of itself (same contract as the PQ path); a doc whose
+      // only duplicate link ran THROUGH a dropped non-survivor may re-keep —
+      // the conservative direction (below-threshold vs everything retained)
+      .filter(col("q.id_a") =!= col("q.id_b"))
       .select(col("q.id_a"), col("q.a_is_new"), col("q.id_b"), col("q.b_is_new"))
       .dropDuplicates("id_a", "id_b")
     val cand = stage(cand0)
@@ -952,7 +975,13 @@ object Dedup {
          .filter(lit(false))
        else spark.read.schema(sigsSchema(idType)).parquet(s"$indexDir/sigs")
          .filter(col("id_bucket").isin(idBuckets: _*)))
-        .join(broadcast(oldIds), Seq("id"), "left_semi")
+        // same escape hatch as the bucket-key prune: a delta too large to
+        // broadcast its keys has a candidate old-id set of similar magnitude
+        .join(if (broadcastNewKeys) broadcast(oldIds) else oldIds, Seq("id"), "left_semi")
+        // a crashed-then-redelivered append leaves duplicate sig rows per id;
+        // collapse them HERE (the smallest frame) or each duplicate would
+        // re-expand every candidate pair after the sig join
+        .dropDuplicates("id")
         .select(col("id"), col("sig"))
     val sigOf = stage(newSigs.select(col("id"), col("sig")).unionAll(oldSigsNeeded))
       // staged: joined twice (side a, side b)

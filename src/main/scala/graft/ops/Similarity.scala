@@ -205,15 +205,14 @@ object Similarity {
   def ivfBuildIndexWith(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
       centroids: Seq[Seq[Double]], epoch: Long = 0L): Unit = {
-    ivfAssign(df, idCol, embCol, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    val n = Dedup.countingWrite(ivfAssign(df, idCol, embCol, centroids))(
+      _.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells"))
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val spark = df.sparkSession
     import spark.implicits._
     Seq(json).toDF("centroids").coalesce(1)
       .write.mode("overwrite").json(s"$indexDir/centroids")
-    IndexVersions.record(spark, indexDir, epoch, "build",
-      spark.read.parquet(s"$indexDir/cells").count())
+    IndexVersions.record(spark, indexDir, epoch, "build", n)
   }
 
   def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
@@ -294,9 +293,10 @@ object Similarity {
       sampleByHash: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
     val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize, sampleByHash)
-    ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
-      .repartition(col("cell")).sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    val n = Dedup.countingWrite(
+      ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
+        .repartition(col("cell")).sortWithinPartitions("cell", "id"))(
+      _.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells"))
     val spark = df.sparkSession
     import spark.implicits._
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -306,8 +306,7 @@ object Similarity {
       cents.zipWithIndex.map { case (c, j) => (mi, j, c) }
     }.toDF("mi", "j", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    IndexVersions.record(spark, indexDir, 0L, "build",
-      spark.read.parquet(s"$indexDir/cells").count())
+    IndexVersions.record(spark, indexDir, 0L, "build", n)
     (centroids, codebooks)
   }
 
@@ -440,7 +439,7 @@ object Similarity {
   def knnJoinCosineIvfDistributed(
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val q = queries
       .select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qe"))
       .withColumn("__nq", norm(col("__qe")))
@@ -451,36 +450,25 @@ object Similarity {
       .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
       .withColumn("__nc", norm(col("__ce")))
       .filter(col("__nc") =!= 0.0)
-    val scored = c.join(q, "cell")
+    val joined = c.join(q, "cell")
+    // excludeSelf (the k-NN-graph shape): drop id == query_id BEFORE the
+    // top-k cut, so a row still yields k neighbors when its cells hold k others
+    val scored = (if (excludeSelf) joined.filter(col("id") =!= col("query_id")) else joined)
       .select(col("query_id"), col("id"),
         (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
     topKPerQuery(scored, k)
   }
 
   /** Corpus-vs-corpus k-NN GRAPH over a pre-assigned corpus: every vector's
-    * top-k nearest OTHER vectors (self-pairs excluded before the top-k cut,
-    * so each row still yields k neighbors when its probed cells hold k
-    * others). The corpus plays both sides of [[knnJoinCosineIvfDistributed]]
-    * — no driver collect, no cartesian. */
+    * top-k nearest OTHER vectors. The corpus plays both sides of
+    * [[knnJoinCosineIvfDistributed]] with self-pairs excluded — no driver
+    * collect, no cartesian. */
   def knnGraphCosineIvf(
       assigned: DataFrame, k: Int, centroids: Seq[Seq[Double]],
-      nprobe: Int = 4): DataFrame = {
-    val q = assigned
-      .select(col("id").as("query_id"), col("emb").cast("array<double>").as("__qe"))
-      .withColumn("__nq", norm(col("__qe")))
-      .filter(col("__nq") =!= 0.0)
-      .select(col("query_id"), col("__qe"), col("__nq"),
-        explode(graft.functions.ProbeCells(col("__qe"), centroids, nprobe)).as("cell"))
-    val c = assigned
-      .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
-      .withColumn("__nc", norm(col("__ce")))
-      .filter(col("__nc") =!= 0.0)
-    val scored = c.join(q, "cell")
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        (dot(col("__ce"), col("__qe")) / (col("__nc") * col("__nq"))).as("cosine"))
-    topKPerQuery(scored, k)
-  }
+      nprobe: Int = 4): DataFrame =
+    knnJoinCosineIvfDistributed(
+      assigned.select(col("id"), col("emb")), "id", "emb",
+      assigned, centroids, k, nprobe, excludeSelf = true)
 
   // ---------------------------------------------------------------------------
   // Int8 scalar quantization: 4x less storage and shuffle than float32 — at
@@ -764,6 +752,11 @@ object Similarity {
                          y.id AS id_b, y.is_new AS b_is_new, y.emb AS emb_b))))"""))
         .as("q"))
       .filter(col("q.a_is_new") || col("q.b_is_new"))
+      // a resubmitted id never pairs with its own index entry (cosine 1 with
+      // itself) — an at-least-once redelivery that recomputes after its
+      // survivors were appended must keep those survivors, not drop every
+      // one as a dup of itself (same contract as the PQ path)
+      .filter(col("q.id_a") =!= col("q.id_b"))
       .filter(cosine(col("q.emb_a"), col("q.emb_b")) >= threshold)
       .select(col("q.id_a"), col("q.id_b"), col("q.a_is_new"), col("q.b_is_new"))
     AuditedPairs(pairs, obs, recompute)
@@ -911,7 +904,12 @@ object Similarity {
     val newAssigned = ivfAssign(newDf, idCol, embCol, centroids)
       .withColumn("adc", graft.functions.PqAdcTableExpr(col("emb"), codebooks))
       .localCheckpoint(true)
+    // scope the old side to the delta's cells BEFORE sizing, so the audit
+    // counts the same universe the indexed twin sees (it partition-prunes
+    // first and can never observe an untouched oversized cell); pair output
+    // is unaffected — untouched cells generate no candidates either way
     val oldEnc = ivfPqEncodeWithEmb(old, idCol, embCol, centroids, codebooks)
+      .join(broadcast(newAssigned.select("cell").distinct()), Seq("cell"), "left_semi")
       .localCheckpoint(true) // read by the size audit, candidates, and refine
     val oldCodes = oldEnc.select(col("id"), col("codes"), col("cell"))
     def aggs: Seq[Column] = Seq(
@@ -969,11 +967,12 @@ object Similarity {
     val spark = df.sparkSession
     Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val (centroids, codebooks) = ivfPqLoadIndex(spark, indexDir)
-    ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
-      .repartition(col("cell")).sortWithinPartitions("cell", "id")
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    val n = Dedup.countingWrite(
+      ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
+        .repartition(col("cell")).sortWithinPartitions("cell", "id"))(
+      _.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells"))
     IndexVersions.record(spark, indexDir,
-      IndexVersions.epoch(spark, indexDir), "append", df.count())
+      IndexVersions.epoch(spark, indexDir), "append", n)
   }
 
   /** The delta vectors that SURVIVE semantic dedup against the indexed
@@ -996,10 +995,10 @@ object Similarity {
       df: DataFrame, idCol: String, embCol: String, indexDir: String): Unit = {
     Dedup.completeSwap(df.sparkSession, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val centroids = ivfLoadCentroids(df.sparkSession, indexDir)
-    ivfAssign(df, idCol, embCol, centroids)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    val n = Dedup.countingWrite(ivfAssign(df, idCol, embCol, centroids))(
+      _.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells"))
     IndexVersions.record(df.sparkSession, indexDir,
-      IndexVersions.epoch(df.sparkSession, indexDir), "append", df.count())
+      IndexVersions.epoch(df.sparkSession, indexDir), "append", n)
   }
 
   /** Compact a persisted IVF index to the ids in `keepIds` — the
@@ -1019,9 +1018,10 @@ object Similarity {
       s"compaction epoch $target would regress the index at $indexDir (currently $cur)")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val tmp = s"$indexDir/cells_compacting"
-    cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .dropDuplicates("id") // repair duplicate rows a redelivered append left
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val n = Dedup.countingWrite(
+      cells.join(keepIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .dropDuplicates("id"))( // repair duplicate rows a redelivered append left
+      _.write.mode("overwrite").partitionBy("cell").parquet(tmp))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Dedup.writeCommitMarker(fs, tmp)
@@ -1029,8 +1029,7 @@ object Similarity {
     fs.delete(live, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
       s"compact swap failed: could not rename $tmp to $live")
-    IndexVersions.record(spark, indexDir, target, "compact",
-      spark.read.parquet(s"$indexDir/cells").count())
+    IndexVersions.record(spark, indexDir, target, "compact", n)
   }
 
   /** [[cosineNearDupPairsLshAudited]] without the audit handle. */

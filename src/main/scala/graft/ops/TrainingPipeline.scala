@@ -345,10 +345,17 @@ object TrainingPipeline {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
       s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }
+    // graft's own marker OR Hadoop's _SUCCESS (object-store deployments
+    // commonly disable marksuccessfuljobs — see Dedup.CommitMarker)
     def committedData(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val fsOf = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsOf.exists(new org.apache.hadoop.fs.Path(dir, Dedup.CommitMarker)) ||
+        fsOf.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
     }
+    def markData(dir: String): Unit =
+      Dedup.writeCommitMarker(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
     /** Load-or-compute one stage. `dataDir` (when the stage persists data)
       * must ALSO be committed for a load — meta without data means recompute. */
     def stage(name: String, key: String, dataDir: Option[String] = None)(
@@ -401,6 +408,7 @@ object TrainingPipeline {
         .repartition(checkpointShards, col(idCol))
         .sortWithinPartitions(idCol)
         .write.mode(SaveMode.Overwrite).parquet(corpusDir)
+      markData(corpusDir)
       val (nInput, nValid) = intakeCounts(intake, annotated)
       if (maxLineFreq.isDefined) cleaned0.unpersist()
       if (spanScrubN.isDefined) preSpan.unpersist()
@@ -423,6 +431,7 @@ object TrainingPipeline {
         .select(col("id").as(idCol))
         .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
         .write.mode(SaveMode.Overwrite).parquet(nearDir)
+      markData(nearDir)
       Map("n_near" -> idSet(nearDir).count(),
         "drop_buckets" -> audited.droppedBuckets, "drop_ids" -> audited.droppedIds)
     }
@@ -439,6 +448,7 @@ object TrainingPipeline {
             .select(col("id").as(idCol)).distinct()
             .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
             .write.mode(SaveMode.Overwrite).parquet(contamDir)
+          markData(contamDir)
           Map("n_contam" -> idSet(contamDir).count())
         }
         (key, (near.join(idSet(contamDir), Seq(idCol), "left_anti"), c("n_contam")))
@@ -594,8 +604,14 @@ object TrainingPipeline {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
       s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }
+    // graft's own marker OR Hadoop's _SUCCESS: object-store deployments
+    // commonly disable marksuccessfuljobs (the whole reason Dedup.CommitMarker
+    // exists) — keying the stage gate off _SUCCESS alone would recompute
+    // committed stages against indexes that already hold their survivors
+    def markData(dir: String): Unit = Dedup.writeCommitMarker(fs, dir)
     def committedData(dir: String): Boolean =
-      exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS").toString)
+      exists(new org.apache.hadoop.fs.Path(dir, Dedup.CommitMarker).toString) ||
+        exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS").toString)
     def stage(name: String, key: String, dataDir: Option[String] = None)(
         compute: => Map[String, Long]): Map[String, Long] =
       StageStore.load(spark, workDir, name, key)
@@ -640,6 +656,7 @@ object TrainingPipeline {
         .repartition(checkpointShards, col(idCol))
         .sortWithinPartitions(idCol)
         .write.mode(SaveMode.Overwrite).parquet(prepDir)
+      markData(prepDir)
       val (nInput, nValid) = intakeCounts(intake, annotated)
       Map("n_input" -> nInput, "n_valid" -> nValid,
         "n_exact" -> spark.read.parquet(prepDir).count())
@@ -672,6 +689,7 @@ object TrainingPipeline {
           .select(col(idCol))
           .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
           .write.mode(SaveMode.Overwrite).parquet(lexDir)
+        markData(lexDir)
         Map("n_keep" -> idSet(lexDir).count(),
           "drop_buckets" -> audited.droppedBuckets, "drop_ids" -> audited.droppedIds)
       } finally Dedup.releaseCheckpointsSince(sc, before)
@@ -700,6 +718,7 @@ object TrainingPipeline {
             .select(col("id").as(idCol)).distinct()
             .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
             .write.mode(SaveMode.Overwrite).parquet(contamDir)
+          markData(contamDir)
           Map("n_contam" -> idSet(contamDir).count())
         }
         (key, (lexKept.join(idSet(contamDir), Seq(idCol), "left_anti"), c("n_contam")))
@@ -728,33 +747,37 @@ object TrainingPipeline {
                 val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
                   ivfIters, ivfSampleSize)
                 (Similarity.semanticDedup(kept, idCol, ec, cents,
-                  semanticThreshold, maxCell), Some(cents))
+                  semanticThreshold, maxCell), true)
               } else {
                 IndexVersions.requireAtLeast(spark, ivfDir, corpusEpoch,
                   "IVF cell index")
                 (Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
-                  semanticThreshold, maxCell), None)
+                  semanticThreshold, maxCell), false)
               }
             survivors.select(col(idCol))
               .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
               .write.mode(SaveMode.Overwrite).parquet(semDir)
-            // bootstrap: the index IS the seeded survivor set (no separate
-            // append); written after semDir so a kill in between recomputes
-            // the whole stage (both writes are overwrite-idempotent)
-            bootstrapped.foreach { cents =>
-              Similarity.ivfBuildIndexWith(
-                kept.join(idSet(semDir), Seq(idCol), "left_semi"),
-                idCol, ec, ivfDir, cents, epoch = corpusEpoch)
-            }
+            markData(semDir)
             Map("n_sem_keep" -> idSet(semDir).count(),
-              "bootstrapped" -> (if (bootstrapped.isDefined) 1L else 0L))
+              "bootstrapped" -> (if (bootstrapped) 1L else 0L))
           } finally Dedup.releaseCheckpointsSince(sc, before)
         }
         val semKept = kept.join(idSet(semDir), Seq(idCol), "left_semi")
         stage(sname("semappend"), semKey) {
-          if (semC("bootstrapped") == 0L)
-            Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
-          Map("n_appended" -> (if (semC("bootstrapped") == 0L) semC("n_sem_keep") else 0L))
+          // bootstrap: the index IS the seeded survivor set — built HERE,
+          // after the semdedup stage committed. Building it inside semdedup
+          // left a crash window (index written, stage not committed) whose
+          // recompute flipped onto the indexed branch against the delta's
+          // own survivors. ivfTrain is deterministic (hash-ordered sample),
+          // so retraining reproduces the centroids semdedup dedup'd under;
+          // a kill anywhere here recomputes an overwrite-idempotent build.
+          if (semC("bootstrapped") == 1L) {
+            val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
+              ivfIters, ivfSampleSize)
+            Similarity.ivfBuildIndexWith(semKept, idCol, ec, ivfDir, cents,
+              epoch = corpusEpoch)
+          } else Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
+          Map("n_appended" -> semC("n_sem_keep"))
         }
         (semKept, semC("n_sem_keep"))
       case None => (kept, nKept)

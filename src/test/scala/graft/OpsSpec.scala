@@ -487,6 +487,40 @@ class OpsSpec extends SparkSpec {
     assert(kept2 === Set.empty[Long])
   }
 
+  test("at-least-once redelivery: a delta recomputed against its own appended survivors is a no-op (both index families)") {
+    // lexical: without the self-pair guard every survivor would pair with its
+    // own index entry (all 32 signature words match) and drop — a replayed
+    // snapshot would silently return ZERO survivors
+    val p = Dedup.MinhashIndexParams(numHashes = 32, bands = 8)
+    val old = dupDocs.filter($"doc_id" % 3 =!= 0)
+    val delta = dupDocs.filter($"doc_id" % 3 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-redeliver-mh").toString
+    Dedup.minhashIndexBuild(old, "doc_id", "text", idx, p)
+    def lexKept() = Dedup.deltaDedupIndexed(delta, "doc_id", "text", idx, threshold = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    val kept1 = lexKept()
+    assert(kept1.nonEmpty && kept1.size < delta.count())
+    Dedup.minhashIndexAppend(
+      delta.join(kept1.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", idx)
+    assert(lexKept() === kept1)
+    // semantic twin: identical replay contract over the IVF cell index
+    val ivf = java.nio.file.Files.createTempDirectory("graft-redeliver-ivf").toString
+    val eOld = embs.select($"vec_id", $"embedding").filter($"vec_id" % 3 =!= 0)
+    val eDelta = embs.select($"vec_id", $"embedding").filter($"vec_id" % 3 === 0)
+      .unionAll(eOld.filter($"vec_id" === 5L).select(($"vec_id" + 7000).as("vec_id"), $"embedding"))
+    Similarity.ivfBuildIndex(eOld, "vec_id", "embedding", ivf, numCells = 8)
+    def semKept() = Similarity.semanticDeltaDedupIndexed(
+      eDelta, "vec_id", "embedding", ivf, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val sem1 = semKept()
+    assert(!sem1.contains(7005L) && sem1.nonEmpty) // the planted copy lost to its old source
+    Similarity.ivfIndexAppend(
+      eDelta.join(sem1.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", ivf)
+    assert(semKept() === sem1)
+  }
+
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)
@@ -911,6 +945,26 @@ class OpsSpec extends SparkSpec {
     assert(loadedNames === Seq("prepare", "lexdedup"))
     assert(resumed.report === r1.report)
     assert(resumed.corpus.select($"doc_id").as[Long].collect().toSet === out1)
+
+    // crash-window replay: dedup stage metas lost AFTER the survivors were
+    // already appended/built into the indexes (the meta row is the commit
+    // point) — the recompute runs the INDEXED branches against the delta's
+    // own survivors and must reproduce the result, not drop every survivor
+    // as a self-dup; the committed append stages must not re-append
+    val metaFs = new org.apache.hadoop.fs.Path(work2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas = metaFs.listStatus(new org.apache.hadoop.fs.Path(s"$work2/_meta"))
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith("_lexdedup") || p.getName.endsWith("_semdedup"))
+    assert(metas.length === 2)
+    metas.foreach(p => metaFs.delete(p, true))
+    val mhCountBefore = Dedup.minhashIndexLoad(spark, s"$work2/mhidx")._1.count()
+    val replayed = go(d1, w = work2)
+    assert(replayed.stages.filterNot(_.loaded).map(_.name.split("_").last).toSet
+      === Set("lexdedup", "semdedup"))
+    assert(replayed.report === r1.report)
+    assert(replayed.corpus.select($"doc_id").as[Long].collect().toSet === out1)
+    assert(Dedup.minhashIndexLoad(spark, s"$work2/mhidx")._1.count() === mhCountBefore)
 
     // deletion: withdraw doc 4 -> both indexes compact -> a fresh near-copy
     // of 4 now SURVIVES (stale signatures can no longer win)

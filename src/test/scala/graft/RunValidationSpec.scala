@@ -130,6 +130,14 @@ class RunValidationSpec extends SparkSpec {
       assert(field(again, "duplicate_keys") === field(plain, "duplicate_keys"))
       assert(field(again, "dangling_refs") === field(plain, "dangling_refs"))
       assert(new java.io.File(s"$root/work_b/bucketed").lastModified === mtime)
+      // re-attaching with DIFFERENT keys must fail fast: CLUSTERED BY over
+      // files hashed on other keys would make the exchange-free checks
+      // aggregate partial per-file groups silently
+      spark.sql("DROP TABLE graft_cli_bucketed")
+      val bad = intercept[IllegalArgumentException] {
+        RunValidation.run(spark, b.copy(bucketKeys = Seq("repo")))
+      }
+      assert(bad.getMessage.contains("bucket"), bad.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cli_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_cli_bucketed_dim")

@@ -293,6 +293,17 @@ object Similarity {
       sampleByHash: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val centroids = ivfTrain(df, idCol, embCol, numCells, iters, sampleSize, sampleByHash)
     val codebooks = pqTrain(df, idCol, embCol, m, kSub, iters, sampleSize, sampleByHash)
+    ivfPqBuildIndexWith(df, idCol, embCol, indexDir, centroids, codebooks)
+    (centroids, codebooks)
+  }
+
+  /** Persist an IVF-PQ index from ALREADY-TRAINED quantizers — the facade's
+    * bootstrap path, where the quantizers must be the ones the first
+    * snapshot dedup'd under (the [[ivfBuildIndexWith]] contract, PQ twin). */
+  def ivfPqBuildIndexWith(
+      df: DataFrame, idCol: String, embCol: String, indexDir: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      epoch: Long = 0L): Unit = {
     val n = Dedup.countingWrite(
       ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
         .repartition(col("cell")).sortWithinPartitions("cell", "id"))(
@@ -306,8 +317,7 @@ object Similarity {
       cents.zipWithIndex.map { case (c, j) => (mi, j, c) }
     }.toDF("mi", "j", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    IndexVersions.record(spark, indexDir, 0L, "build", n)
-    (centroids, codebooks)
+    IndexVersions.record(spark, indexDir, epoch, "build", n)
   }
 
   /** Load both quantizers back from an [[ivfPqBuildIndex]] directory. */

@@ -551,6 +551,13 @@ object TrainingPipeline {
       semanticThreshold: Double = 0.99, numCells: Int = 1024,
       ivfIters: Int = 3, ivfSampleSize: Int = 4096,
       maxCell: Int = Dedup.DefaultMaxBucket,
+      // usePqCodes: persist the semantic index as IVF-PQ (8-byte codes ride
+      // the cell files next to emb; delta candidate scans read codes only —
+      // the 32x-cheaper old side at corpus scale). ADC is recall-bounded by
+      // pqAdcMargin and every emitted pair re-checks at full precision, so
+      // precision is exact; a generous margin recovers the raw path exactly.
+      usePqCodes: Boolean = false, pqM: Int = 8, pqKSub: Int = 16,
+      pqAdcMargin: Double = 0.2, pqMaxRefineIds: Int = 1 << 14,
       splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
       packBudget: Option[Long] = None, packShards: Int = 64,
       paramsKey: String = "", checkpointShards: Int = 64,
@@ -738,7 +745,10 @@ object TrainingPipeline {
       case Some(ec) =>
         val semDir = StageStore.dataDir(workDir, sname("sem_keep"))
         val semKey = s"$qualityKey|semThr=$semanticThreshold|cells=$numCells|" +
-          s"iters=$ivfIters|sample=$ivfSampleSize|maxCell=$maxCell"
+          s"iters=$ivfIters|sample=$ivfSampleSize|maxCell=$maxCell" +
+          (if (usePqCodes)
+             s"|pq=$pqM:$pqKSub|margin=$pqAdcMargin|refine=$pqMaxRefineIds"
+           else "")
         val semC = stage(sname("semdedup"), semKey, Some(semDir)) {
           val before = sc.getPersistentRDDs.keySet
           try {
@@ -751,8 +761,12 @@ object TrainingPipeline {
               } else {
                 IndexVersions.requireAtLeast(spark, ivfDir, corpusEpoch,
                   "IVF cell index")
-                (Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
-                  semanticThreshold, maxCell), false)
+                (if (usePqCodes)
+                   Similarity.semanticDeltaDedupPqIndexed(kept, idCol, ec, ivfDir,
+                     semanticThreshold, maxCell, pqAdcMargin, pqMaxRefineIds)
+                 else
+                   Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
+                     semanticThreshold, maxCell), false)
               }
             survivors.select(col(idCol))
               .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
@@ -774,9 +788,17 @@ object TrainingPipeline {
           if (semC("bootstrapped") == 1L) {
             val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
               ivfIters, ivfSampleSize)
-            Similarity.ivfBuildIndexWith(semKept, idCol, ec, ivfDir, cents,
-              epoch = corpusEpoch)
-          } else Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
+            if (usePqCodes) {
+              val books = Similarity.pqTrain(kept, idCol, ec, pqM, pqKSub,
+                ivfIters, ivfSampleSize)
+              Similarity.ivfPqBuildIndexWith(semKept, idCol, ec, ivfDir,
+                cents, books, epoch = corpusEpoch)
+            } else
+              Similarity.ivfBuildIndexWith(semKept, idCol, ec, ivfDir, cents,
+                epoch = corpusEpoch)
+          } else if (usePqCodes)
+            Similarity.ivfPqIndexAppend(semKept, idCol, ec, ivfDir)
+          else Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
           Map("n_appended" -> semC("n_sem_keep"))
         }
         (semKept, semC("n_sem_keep"))

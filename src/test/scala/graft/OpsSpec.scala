@@ -926,6 +926,24 @@ class OpsSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(ivfIds === out1.union(out2))
 
+    // PQ-coded semantic index mode: identical survivor sets with a generous
+    // ADC margin (floor below any score -> candidates = all same-cell pairs
+    // -> exact refine == the raw path); the index carries 8-byte codes and
+    // appends encode with the STORED quantizers
+    val workPq = java.nio.file.Files.createTempDirectory("graft-delta-pipe-pq").toString
+    def goPq(delta: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.runDelta(delta, "doc_id", "text", workPq,
+        schema = spec, probe = Some((probe, "pid", "ptext")),
+        embCol = Some("emb"),
+        minhashThreshold = 0.8, maxTopWordPct = 60,
+        semanticThreshold = 0.99, numCells = 4, ivfIters = 2, ivfSampleSize = 16,
+        usePqCodes = true, pqM = 8, pqKSub = 8, pqAdcMargin = 2.0)
+    assert(goPq(d1).corpus.select($"doc_id").as[Long].collect().toSet === out1)
+    assert(goPq(d2).corpus.select($"doc_id").as[Long].collect().toSet === out2)
+    val pqCells = spark.read.parquet(s"$workPq/ivfidx/cells")
+    assert(pqCells.columns.contains("codes"))
+    assert(pqCells.select($"id").as[Long].collect().toSet === out1.union(out2))
+
     // byte-identical replay of an earlier snapshot: all stages load, same
     // survivors, indexes untouched
     val again = go(d1)

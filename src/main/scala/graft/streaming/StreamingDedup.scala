@@ -188,4 +188,52 @@ object StreamingDedup {
         graft.ops.Dedup.releaseCheckpointsSince(sc, rddsBefore)
       }
     }
+
+  /** [[deltaDedupStream]]'s SEMANTIC twin over a persisted IVF index
+    * ([[graft.ops.Similarity.ivfBuildIndex]] layout, or IVF-PQ via
+    * `usePqCodes`): each micro-batch of vectors dedups against the indexed
+    * corpus (earlier vectors always win; within-batch clusters keep the min
+    * id), survivors go to `sink` and append to the index assigned/encoded
+    * with the index's OWN stored quantizers — a stream can never fork them.
+    * Cross-batch state is the index on disk (restart-safe, partition-pruned
+    * reads — a micro-batch touching 5 of 100k cells scans 5/100k of the
+    * corpus); same at-least-once contract and checkpoint-release hygiene as
+    * the lexical stream. Build the index before starting ([[graft.ops
+    * .Similarity.ivfBuildIndex]] / [[graft.ops.Similarity.ivfPqBuildIndex]]
+    * on the existing corpus — unlike the lexical index, the IVF quantizer
+    * must train on real vectors, so a from-scratch stream seeds the index
+    * from its first snapshot instead of an empty frame). */
+  def semanticDeltaDedupStream(
+      stream: DataFrame, idCol: String, embCol: String, indexDir: String,
+      threshold: Double,
+      maxCell: Int = graft.ops.Dedup.DefaultMaxBucket,
+      usePqCodes: Boolean = false, pqAdcMargin: Double = 0.2,
+      pqMaxRefineIds: Int = 1 << 14)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sc = batch.sparkSession.sparkContext
+      val rddsBefore = sc.getPersistentRDDs.keySet
+      val b = batch.persist()
+      try {
+        val kept =
+          (if (usePqCodes)
+             graft.ops.Similarity.semanticDeltaDedupPqIndexed(
+               b, idCol, embCol, indexDir, threshold, maxCell,
+               pqAdcMargin, pqMaxRefineIds)
+           else
+             graft.ops.Similarity.semanticDeltaDedupIndexed(
+               b, idCol, embCol, indexDir, threshold, maxCell))
+            .persist() // read by sink AND the index append
+        try {
+          sink(kept, batchId)
+          if (usePqCodes)
+            graft.ops.Similarity.ivfPqIndexAppend(kept, idCol, embCol, indexDir)
+          else
+            graft.ops.Similarity.ivfIndexAppend(kept, idCol, embCol, indexDir)
+        } finally kept.unpersist()
+      } finally {
+        b.unpersist()
+        graft.ops.Dedup.releaseCheckpointsSince(sc, rddsBefore)
+      }
+    }
 }

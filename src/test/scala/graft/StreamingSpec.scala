@@ -222,6 +222,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic delta dedup: IVF index on disk is the cross-batch state; earlier vectors win") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val idx = java.nio.file.Files.createTempDirectory("graft-ssem").toString
+    def v(base: Seq[Double], eps: Double) = base.map(_ + eps)
+    val vA = Seq(1.0, 0.1, 0.0, 0.0)
+    val vB = Seq(0.0, 1.0, 0.1, 0.0)
+    val vC = Seq(0.0, 0.0, 0.1, 1.0)
+    // the quantizer trains on the EXISTING corpus (unlike the lexical index,
+    // IVF cannot seed from an empty frame)
+    Similarity.ivfBuildIndex(Seq((1L, vA)).toDF("vec_id", "emb"),
+      "vec_id", "emb", idx, numCells = 1, iters = 0, sampleSize = 1)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.semanticDeltaDedupStream(
+      input.toDF().toDF("vec_id", "emb"), "vec_id", "emb", idx, threshold = 0.95) {
+      (kept, batchId) =>
+        survivors.synchronized {
+          survivors ++= kept.select("vec_id").collect().map(r => (batchId, r.getLong(0)))
+        }
+    }.start()
+    try {
+      // batch 0: near-copy of the indexed 1 loses; novel B survives + appends
+      input.addData((10L, v(vA, 0.01)), (20L, vB))
+      q.processAllAvailable()
+      // batch 1: near-copy of B from the PREVIOUS batch loses to the index;
+      // novel C survives
+      input.addData((21L, v(vB, 0.01)), (30L, vC))
+      q.processAllAvailable()
+      assert(survivors.toSet === Set((0L, 20L), (1L, 30L)))
+      // the index holds exactly the corpus + streamed survivors
+      assert(spark.read.parquet(s"$idx/cells").select("id").as[Long].collect().toSet
+        === Set(1L, 20L, 30L))
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+      assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

@@ -196,9 +196,14 @@ object RunValidation {
         s"bucketed layout at $dir was staged as '$spec' but this run declares " +
           s"'$expect' (--bucket-keys/--buckets); pass the original values or --restage")
     }
+    // the SPEC FILE is the staging commit gate, not dir existence: a crash
+    // between the bucketed write and the spec write self-heals by re-staging
+    // (the write is an overwrite) instead of dead-ending every later attach
+    def specCommitted(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, BucketSpecFile))
     a.bucketedTable.foreach { tbl =>
       val bdir = s"${a.work}/bucketed"
-      if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(bdir))) {
+      if (a.restage || !specCommitted(bdir)) {
         graft.io.BucketedStage.stage(
           spark.read.parquet(staging), a.bucketKeys, a.buckets, tbl, Some(bdir))
         writeBucketSpec(bdir, a.bucketKeys, a.buckets)
@@ -208,7 +213,7 @@ object RunValidation {
       }
       a.dim.foreach { d =>
         val ddir = s"${a.work}/bucketed_dim"
-        if (a.restage || !fs.exists(new org.apache.hadoop.fs.Path(ddir))) {
+        if (a.restage || !specCommitted(ddir)) {
           graft.io.BucketedStage.stage(
             spark.read.parquet(d).select("commit").distinct(), Seq("commit"),
             a.buckets, bucketedDimTable(tbl), Some(ddir))

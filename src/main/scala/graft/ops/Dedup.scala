@@ -567,18 +567,24 @@ object Dedup {
     StructField("id", idType), StructField("band_idx", IntegerType),
     StructField("band_hash", LongType), StructField("band_bucket", IntegerType)))
 
+  // per-write static overwrite: a session-wide partitionOverwriteMode=dynamic
+  // (CheckpointedRunner sets it) would make a whole-layout rebuild keep any
+  // bucket partition absent from the new data — stale rows surviving an
+  // "overwrite" silently (the CLAUDE.md staging bug, index edition)
   private def writeSigs(sigs: DataFrame, dir: String, p: MinhashIndexParams,
       mode: String): Unit =
     sigs.withColumn("id_bucket", idBucket(p))
       .repartition(col("id_bucket")).sortWithinPartitions("id_bucket", "id")
-      .write.mode(mode).partitionBy("id_bucket").parquet(dir)
+      .write.mode(mode).option("partitionOverwriteMode", "static")
+      .partitionBy("id_bucket").parquet(dir)
 
   private def writeBands(bands: DataFrame, dir: String, p: MinhashIndexParams,
       mode: String): Unit =
     bands.select(col("id"), col("band_idx"), col("band_hash"))
       .withColumn("band_bucket", bandBucket(p))
       .repartition(col("band_bucket")).sortWithinPartitions("band_bucket", "band_hash")
-      .write.mode(mode).partitionBy("band_bucket").parquet(dir)
+      .write.mode(mode).option("partitionOverwriteMode", "static")
+      .partitionBy("band_bucket").parquet(dir)
 
   /** Build (overwrite) a signature index for `df` at `indexDir`. Layout:
     *  - `sigs/` (id, sig), hash-partitioned by `id_bucket` — the signature
@@ -839,6 +845,9 @@ object Dedup {
                          y.id AS id_b, y.is_new AS b_is_new, y.sig AS sig_b))))"""))
         .as("q"))
       .filter(col("q.a_is_new") || col("q.b_is_new"))
+      // same redelivery contract as the indexed path (and its bit-for-bit
+      // parity): a resubmitted id never pairs with its own old entry
+      .filter(col("q.id_a") =!= col("q.id_b"))
       .select(col("q.id_a"), col("q.id_b"),
         sigMatchCount(col("q.sig_a"), col("q.sig_b"), p.numHashes).as("matches"),
         col("q.a_is_new"), col("q.b_is_new"))

@@ -205,19 +205,30 @@ object Similarity {
   def ivfBuildIndexWith(
       df: DataFrame, idCol: String, embCol: String, indexDir: String,
       centroids: Seq[Seq[Double]], epoch: Long = 0L): Unit = {
+    // static overwrite: under a session-wide dynamic partitionOverwriteMode a
+    // whole-layout rebuild would keep cell partitions absent from the new
+    // data — stale vectors surviving the "overwrite" and winning future deltas
     val n = Dedup.countingWrite(ivfAssign(df, idCol, embCol, centroids))(
-      _.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells"))
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq(json).toDF("centroids").coalesce(1)
-      .write.mode("overwrite").json(s"$indexDir/centroids")
-    IndexVersions.record(spark, indexDir, epoch, "build", n)
+      _.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$indexDir/cells"))
+    writeCentroidsJson(df.sparkSession, s"$indexDir/centroids", centroids)
+    IndexVersions.record(df.sparkSession, indexDir, epoch, "build", n)
   }
 
-  def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] = {
-    val json = spark.read.json(s"$indexDir/centroids")
-      .select("centroids").head().getString(0)
+  /** Persist centroids in the [[ivfLoadCentroids]] JSON layout. */
+  private[ops] def writeCentroidsJson(
+      spark: SparkSession, dir: String, centroids: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Seq(json).toDF("centroids").coalesce(1).write.mode("overwrite").json(dir)
+  }
+
+  def ivfLoadCentroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] =
+    readCentroidsJson(spark, s"$indexDir/centroids")
+
+  /** Read a [[writeCentroidsJson]] directory back. */
+  private[ops] def readCentroidsJson(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val json = spark.read.json(dir).select("centroids").head().getString(0)
     json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.toDouble).toSeq).toSeq
   }
@@ -307,12 +318,11 @@ object Similarity {
     val n = Dedup.countingWrite(
       ivfPqEncodeWithEmb(df, idCol, embCol, centroids, codebooks)
         .repartition(col("cell")).sortWithinPartitions("cell", "id"))(
-      _.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells"))
+      _.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$indexDir/cells"))
     val spark = df.sparkSession
     import spark.implicits._
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    Seq(json).toDF("centroids").coalesce(1)
-      .write.mode("overwrite").json(s"$indexDir/centroids")
+    writeCentroidsJson(spark, s"$indexDir/centroids", centroids)
     codebooks.zipWithIndex.flatMap { case (cents, mi) =>
       cents.zipWithIndex.map { case (c, j) => (mi, j, c) }
     }.toDF("mi", "j", "centroid").coalesce(1)
@@ -320,9 +330,20 @@ object Similarity {
     IndexVersions.record(spark, indexDir, epoch, "build", n)
   }
 
+  /** Does this index carry PQ codebooks? The format gate appends key off —
+    * a plain-IVF append onto a PQ index would write codes-less rows later
+    * PQ deltas can't score (silent permanent under-dedup), and vice versa. */
+  private def isPqIndex(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Load both quantizers back from an [[ivfPqBuildIndex]] directory. */
   def ivfPqLoadIndex(
       spark: SparkSession, indexDir: String): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(isPqIndex(spark, indexDir),
+      s"index at $indexDir is plain IVF (no codebooks) — use the raw-vector " +
+        "operators (semanticDeltaDedupIndexed / ivfIndexAppend / usePqCodes=false)")
     val centroids = ivfLoadCentroids(spark, indexDir)
     val codebooks = spark.read.parquet(s"$indexDir/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -1003,6 +1024,9 @@ object Similarity {
     * their cell partitions. */
   def ivfIndexAppend(
       df: DataFrame, idCol: String, embCol: String, indexDir: String): Unit = {
+    require(!isPqIndex(df.sparkSession, indexDir),
+      s"index at $indexDir is IVF-PQ (codebooks present) — append with " +
+        "ivfPqIndexAppend (usePqCodes=true), or PQ deltas can't score the new rows")
     Dedup.completeSwap(df.sparkSession, s"$indexDir/cells", s"$indexDir/cells_compacting")
     val centroids = ivfLoadCentroids(df.sparkSession, indexDir)
     val n = Dedup.countingWrite(ivfAssign(df, idCol, embCol, centroids))(

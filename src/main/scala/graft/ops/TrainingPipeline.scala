@@ -752,12 +752,12 @@ object TrainingPipeline {
         val semC = stage(sname("semdedup"), semKey, Some(semDir)) {
           val before = sc.getPersistentRDDs.keySet
           try {
-            val (survivors, bootstrapped) =
+            val (survivors, bootstrapCents) =
               if (!exists(s"$ivfDir/centroids")) {
                 val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
                   ivfIters, ivfSampleSize)
                 (Similarity.semanticDedup(kept, idCol, ec, cents,
-                  semanticThreshold, maxCell), true)
+                  semanticThreshold, maxCell), Some(cents))
               } else {
                 IndexVersions.requireAtLeast(spark, ivfDir, corpusEpoch,
                   "IVF cell index")
@@ -766,14 +766,20 @@ object TrainingPipeline {
                      semanticThreshold, maxCell, pqAdcMargin, pqMaxRefineIds)
                  else
                    Similarity.semanticDeltaDedupIndexed(kept, idCol, ec, ivfDir,
-                     semanticThreshold, maxCell), false)
+                     semanticThreshold, maxCell), None)
               }
             survivors.select(col(idCol))
               .repartition(checkpointShards, col(idCol)).sortWithinPartitions(idCol)
               .write.mode(SaveMode.Overwrite).parquet(semDir)
+            // sidecar the trained centroids under the stage data dir (AFTER
+            // the overwrite, which clears the dir; underscore-prefixed so the
+            // parquet reader ignores it): semappend builds with the EXACT
+            // quantizer this dedup used, no second training sample scan
+            bootstrapCents.foreach(c =>
+              Similarity.writeCentroidsJson(spark, s"$semDir/_centroids", c))
             markData(semDir)
             Map("n_sem_keep" -> idSet(semDir).count(),
-              "bootstrapped" -> (if (bootstrapped) 1L else 0L))
+              "bootstrapped" -> (if (bootstrapCents.isDefined) 1L else 0L))
           } finally Dedup.releaseCheckpointsSince(sc, before)
         }
         val semKept = kept.join(idSet(semDir), Seq(idCol), "left_semi")
@@ -782,12 +788,32 @@ object TrainingPipeline {
           // after the semdedup stage committed. Building it inside semdedup
           // left a crash window (index written, stage not committed) whose
           // recompute flipped onto the indexed branch against the delta's
-          // own survivors. ivfTrain is deterministic (hash-ordered sample),
-          // so retraining reproduces the centroids semdedup dedup'd under;
-          // a kill anywhere here recomputes an overwrite-idempotent build.
-          if (semC("bootstrapped") == 1L) {
-            val cents = Similarity.ivfTrain(kept, idCol, ec, numCells,
-              ivfIters, ivfSampleSize)
+          // own survivors. Centroids come from semdedup's sidecar (the exact
+          // quantizer the dedup used; retrain fallback covers pre-sidecar
+          // work dirs — ivfTrain is deterministic, hash-ordered sample).
+          // Ownership guard: if ANOTHER delta seeded the index while this
+          // snapshot's redelivery was pending, never overwrite it — that
+          // would erase its survivors and fork the quantizer; append this
+          // snapshot's survivors encoded with the index's stored quantizers
+          // instead (first-come order semantics, like the append-only
+          // lexical index; any cross-snapshot dups are kept — the
+          // conservative direction).
+          val ownerFile = new org.apache.hadoop.fs.Path(ivfDir, "_bootstrap_owner")
+          def ownedByUs: Boolean = exists(ownerFile.toString) && {
+            val in = fs.open(ownerFile)
+            (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+             finally in.close()) == tag
+          }
+          if (semC("bootstrapped") == 1L &&
+              (!exists(s"$ivfDir/centroids") || ownedByUs)) {
+            val out = fs.create(ownerFile, true) // claim BEFORE building: a
+            try out.write(s"$tag\n".getBytes("UTF-8")) // kill mid-build
+            finally out.close()                        // recomputes our build
+            val cents =
+              if (exists(s"$semDir/_centroids"))
+                Similarity.readCentroidsJson(spark, s"$semDir/_centroids")
+              else Similarity.ivfTrain(kept, idCol, ec, numCells,
+                ivfIters, ivfSampleSize)
             if (usePqCodes) {
               val books = Similarity.pqTrain(kept, idCol, ec, pqM, pqKSub,
                 ivfIters, ivfSampleSize)
@@ -796,7 +822,7 @@ object TrainingPipeline {
             } else
               Similarity.ivfBuildIndexWith(semKept, idCol, ec, ivfDir, cents,
                 epoch = corpusEpoch)
-          } else if (usePqCodes)
+          } else if (exists(s"$ivfDir/codebooks"))
             Similarity.ivfPqIndexAppend(semKept, idCol, ec, ivfDir)
           else Similarity.ivfIndexAppend(semKept, idCol, ec, ivfDir)
           Map("n_appended" -> semC("n_sem_keep"))

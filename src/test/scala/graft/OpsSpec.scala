@@ -984,6 +984,27 @@ class OpsSpec extends SparkSpec {
     assert(replayed.corpus.select($"doc_id").as[Long].collect().toSet === out1)
     assert(Dedup.minhashIndexLoad(spark, s"$work2/mhidx")._1.count() === mhCountBefore)
 
+    // interleaved bootstrap: snapshot A commits semdedup (bootstrapped=1)
+    // but dies before semappend; snapshot B then bootstraps and OWNS the
+    // index; A's redelivery must never overwrite B's index (that would erase
+    // B's survivors and fork the quantizer) — it appends under B's stored
+    // quantizers instead
+    val work3 = java.nio.file.Files.createTempDirectory("graft-delta-pipe3").toString
+    val killedSem = intercept[RuntimeException] {
+      go(d1, w = work3, onStage = n => if (n.endsWith("_semdedup")) throw new RuntimeException("kill"))
+    }
+    assert(killedSem.getMessage === "kill")
+    assert(!new java.io.File(s"$work3/ivfidx/centroids").exists) // index unborn
+    val rB = go(d2, w = work3)
+    val bSem = rB.corpus.select($"doc_id").as[Long].collect().toSet
+    assert(bSem.contains(124L)) // A's semantic entry wasn't there to beat it
+    val rA = go(d1, w = work3)
+    assert(rA.corpus.select($"doc_id").as[Long].collect().toSet === out1)
+    val cellIds3 = spark.read.parquet(s"$work3/ivfidx/cells")
+      .select($"id").as[Long].collect().toSet
+    assert(bSem.subsetOf(cellIds3), s"B's survivors must survive A's redelivery: $cellIds3")
+    assert(out1.subsetOf(cellIds3))
+
     // deletion: withdraw doc 4 -> both indexes compact -> a fresh near-copy
     // of 4 now SURVIVES (stale signatures can no longer win)
     val d3 = df(Seq((201L, text(4, " xq7 xq8"), "en", 201L)))

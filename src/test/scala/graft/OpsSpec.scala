@@ -521,6 +521,30 @@ class OpsSpec extends SparkSpec {
     assert(semKept() === sem1)
   }
 
+  test("index format guards: raw-vs-PQ mismatches fail fast instead of corrupting the index") {
+    val e = embs.select($"vec_id", $"embedding")
+    val raw = java.nio.file.Files.createTempDirectory("graft-fmt-raw").toString
+    val pq = java.nio.file.Files.createTempDirectory("graft-fmt-pq").toString
+    Similarity.ivfBuildIndex(e, "vec_id", "embedding", raw, numCells = 4, iters = 0, sampleSize = 4)
+    Similarity.ivfPqBuildIndex(e, "vec_id", "embedding", pq, numCells = 4, iters = 0, sampleSize = 16)
+    // plain append onto a PQ index would write codes-less rows PQ deltas
+    // can't score — refused loudly
+    val a = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(e.limit(1), "vec_id", "embedding", pq)
+    }
+    assert(a.getMessage.contains("ivfPqIndexAppend"), a.getMessage)
+    // PQ operators over a plain index: no codebooks to score with — refused
+    val b = intercept[IllegalArgumentException] {
+      Similarity.semanticDeltaDedupPqIndexed(e.limit(1), "vec_id", "embedding",
+        raw, threshold = 0.9).collect()
+    }
+    assert(b.getMessage.contains("plain IVF"), b.getMessage)
+    val c = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(e.limit(1), "vec_id", "embedding", raw)
+    }
+    assert(c.getMessage.contains("plain IVF"), c.getMessage)
+  }
+
   test("IVF knn join: nprobe=all equals brute force exactly; pruned nprobe keeps own-vector rank 1") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val centroids = Similarity.ivfTrain(embs, "vec_id", "embedding", k = 16, iters = 3)

@@ -330,6 +330,43 @@ class PlanSpec extends SparkSpec {
       s"delta's touched cells must land in PartitionFilters:\n${scans.mkString("\n")}")
   }
 
+  test("PQ cells are columnar in BYTES, not just schema: a codes scan reads a fraction of an emb scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-pq-bytes").toString
+    graft.ops.Similarity.ivfPqBuildIndex(
+      e, "vec_id", "embedding", dir, numCells = 4, iters = 0, sampleSize = 16)
+    // measure the on-disk column chunks straight from the parquet footers:
+    // a projection's scan bytes are bounded by its columns' chunk sizes
+    // (the parquet reader's own guarantee), so the chunk ratio IS the
+    // measured basis of the "32x cheaper old side" claim
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = root.getFileSystem(conf)
+    val files = fs.listFiles(root, true)
+    var codesBytes = 0L
+    var embBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          for (bg <- reader.getFooter.getBlocks.asScala;
+               c <- bg.getColumns.asScala) {
+            val col = c.getPath.toDotString
+            if (col.startsWith("codes")) codesBytes += c.getTotalSize
+            if (col.startsWith("emb")) embBytes += c.getTotalSize
+          }
+        } finally reader.close()
+      }
+    }
+    assert(codesBytes > 0 && embBytes > 0)
+    assert(codesBytes * 4 <= embBytes,
+      s"codes chunks $codesBytes B vs emb chunks $embBytes B — the codes-only " +
+        "candidate scan would not be materially cheaper than raw vectors")
+  }
+
   test("delta dedup: old bands pruned by a broadcast semi-join on the delta's bucket keys") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = graft.ops.Dedup.MinhashIndexParams(numHashes = 32, bands = 8)

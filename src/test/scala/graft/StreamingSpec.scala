@@ -261,6 +261,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic delta dedup over an IVF-PQ index: survivors append as codes; cross-batch dup caught") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val idx = java.nio.file.Files.createTempDirectory("graft-ssempq").toString
+    val vA = Seq(1.0, 0.1, 0.0, 0.0)
+    val vB = Seq(0.0, 1.0, 0.1, 0.0)
+    Similarity.ivfPqBuildIndex(Seq((1L, vA)).toDF("vec_id", "emb"),
+      "vec_id", "emb", idx, numCells = 1, m = 2, kSub = 1, iters = 0, sampleSize = 1)
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.semanticDeltaDedupStream(
+      input.toDF().toDF("vec_id", "emb"), "vec_id", "emb", idx,
+      threshold = 0.95, usePqCodes = true, pqAdcMargin = 2.0) {
+      (kept, batchId) =>
+        survivors.synchronized {
+          survivors ++= kept.select("vec_id").collect().map(r => (batchId, r.getLong(0)))
+        }
+    }.start()
+    try {
+      input.addData((10L, vA.map(_ + 0.01)), (20L, vB))
+      q.processAllAvailable()
+      input.addData((21L, vB.map(_ + 0.01))) // near-copy of the PREVIOUS batch's survivor
+      q.processAllAvailable()
+      assert(survivors.toSet === Set((0L, 20L)))
+      val cells = spark.read.parquet(s"$idx/cells")
+      assert(cells.columns.contains("codes"))
+      assert(cells.select("id").as[Long].collect().toSet === Set(1L, 20L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination: leaked docs dropped per micro-batch against a static probe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

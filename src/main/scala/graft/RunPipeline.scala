@@ -79,7 +79,13 @@ object RunPipeline {
       case "--splits" :: v :: t =>
         val parsed = v.split(",").toSeq.map { s =>
           s.split("=") match {
-            case Array(n, w) if n.nonEmpty => (n, w.toDouble)
+            case Array(n, w) if n.nonEmpty =>
+              val weight = try w.toDouble catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"--splits weight for '$n' is not a number: $w")
+              }
+              require(weight > 0, s"--splits weight for '$n' must be positive, got $w")
+              (n, weight)
             case _ => throw new IllegalArgumentException(
               s"--splits expects name=weight[,name=weight], got: $v")
           }
@@ -115,11 +121,10 @@ object RunPipeline {
       splits = a.splits, packBudget = a.packBudget)
 
     // content-addressed output dir: an identical resubmission rewrites the
-    // same location with the same content instead of piling up copies
-    val fpRow = delta
-      .agg(count(lit(1)), bit_xor(xxhash64(col(a.id), col(a.text)))).collect().head
-    val fp = f"${fpRow.getLong(0)}%d_${if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)}%016x"
-    val outDir = a.out.getOrElse(s"${a.work}/out/delta_$fp")
+    // same location with the same content instead of piling up copies. The
+    // address is runDelta's OWN stage-namespace tag (computed once, up front,
+    // embedding-aware, multiset-robust) — never a second scan of the input
+    val outDir = a.out.getOrElse(s"${a.work}/out/delta_${result.tag}")
     // static overwrite: a stale split partition absent from this rewrite
     // must not survive (CLAUDE.md whole-layout-overwrite rule)
     result.corpus.write.mode(SaveMode.Overwrite)
@@ -136,7 +141,7 @@ object RunPipeline {
         s""""output":${r.output},"dropped_buckets":${r.nearDupDroppedBuckets},""" +
         s""""dropped_ids":${r.nearDupDroppedIds},""" +
         s""""stages_loaded":$loaded,"stages_computed":$computed,""" +
-        s""""out":"$outDir"}"""
+        s""""out":"${outDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(json)
     json
   }

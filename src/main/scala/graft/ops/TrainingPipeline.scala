@@ -48,7 +48,10 @@ case class DeltaPipelineReport(
   * stages a resumed run loaded vs recomputed — the same contract as
   * [[PipelineResult.stages]]). */
 case class DeltaPipelineResult(corpus: DataFrame, report: DeltaPipelineReport,
-    stages: Seq[StageRecord] = Nil)
+    stages: Seq[StageRecord] = Nil,
+    /** The delta's content-address tag (stage-namespace id) — callers use it
+      * as a stable per-snapshot output address (graft.RunPipeline does). */
+    tag: String = "")
 
 /** `corpus` reads from the one cached frame [[run]] created; call
   * [[unpersist]] once the caller's action on `corpus` (write/collect) is done.
@@ -338,13 +341,6 @@ object TrainingPipeline {
     val spark = docs.sparkSession
     val records = Seq.newBuilder[StageRecord]
 
-    /** Order-independent content address: (row count, bit_xor of row hashes).
-      * ONE column-pruned scan — the Iceberg seam: a catalog that maintains
-      * content digests in metadata supplies this without any scan. */
-    def contentFp(df: DataFrame, id: String, text: String): String = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
-      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-    }
     // graft's own marker OR Hadoop's _SUCCESS (object-store deployments
     // commonly disable marksuccessfuljobs — see Dedup.CommitMarker)
     def committedData(dir: String): Boolean = {
@@ -371,7 +367,7 @@ object TrainingPipeline {
           c
       }
 
-    val inFp = contentFp(docs, idCol, textCol)
+    val inFp = contentFp(docs, Seq(idCol, textCol))
 
     val corpusDir = StageStore.dataDir(workDir, "corpus")
     val prepareKey =
@@ -440,7 +436,7 @@ object TrainingPipeline {
     val contamDir = StageStore.dataDir(workDir, "contaminated_ids")
     val (decontamKey, deconAndCount) = probe match {
       case Some((p, pid, ptext)) =>
-        val key = s"$nearKey|probe=${contentFp(p, pid, ptext)}|n=$decontamN|minHits=$decontamMinHits"
+        val key = s"$nearKey|probe=${contentFp(p, Seq(pid, ptext))}|n=$decontamN|minHits=$decontamMinHits"
         val c = stage("decontam", key, Some(contamDir)) {
           val probeHashed = Decontaminate.probeHashes(p, pid, ptext, decontamN)
           Decontaminate
@@ -607,10 +603,6 @@ object TrainingPipeline {
     }
     val corpusEpoch = readCorpusEpoch()
 
-    def contentFp(df: DataFrame, id: String, text: String): String = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(id), col(text)))).collect().head
-      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-    }
     // graft's own marker OR Hadoop's _SUCCESS: object-store deployments
     // commonly disable marksuccessfuljobs (the whole reason Dedup.CommitMarker
     // exists) — keying the stage gate off _SUCCESS alone would recompute
@@ -632,7 +624,10 @@ object TrainingPipeline {
           c
       }
 
-    val baseKey = s"v1|in=${contentFp(delta, idCol, textCol)}|" +
+    // the fingerprint covers the EMBEDDING column too when one is in play: a
+    // re-embedded snapshot (same ids and text, new vectors) must recompute
+    // its semantic stages, not load results scored against the old vectors
+    val baseKey = s"v2|in=${contentFp(delta, Seq(idCol, textCol) ++ embCol)}|" +
       s"schema=${schema.isDefined}|user=$paramsKey"
     // per-delta stage namespace: successive snapshots never overwrite each
     // other's committed state, so an identical resubmission replays cleanly
@@ -716,7 +711,7 @@ object TrainingPipeline {
     val contamDir = StageStore.dataDir(workDir, sname("contaminated_ids"))
     val (decontamKey, deconAndCount) = probe match {
       case Some((p, pid, ptext)) =>
-        val key = s"$lexKey|probe=${contentFp(p, pid, ptext)}|n=$decontamN|minHits=$decontamMinHits"
+        val key = s"$lexKey|probe=${contentFp(p, Seq(pid, ptext))}|n=$decontamN|minHits=$decontamMinHits"
         val c = stage(sname("decontam"), key, Some(contamDir)) {
           val probeHashed = Decontaminate.probeHashes(p, pid, ptext, decontamN)
           Decontaminate
@@ -845,7 +840,24 @@ object TrainingPipeline {
       output = nSemKeep,
       nearDupDroppedBuckets = lexC("drop_buckets"),
       nearDupDroppedIds = lexC("drop_ids")),
-      stages = records.result())
+      stages = records.result(), tag = tag)
+  }
+
+  /** Order-independent, multiset-robust content address over `cols`:
+    * (row count, bit_xor of row hashes, additive hash sum mod Long.MaxValue).
+    * XOR alone cancels duplicate rows in pairs ({A,A,B} vs {C,C,B} would
+    * collide); the decimal SUM counts multiplicity and is ANSI-overflow-safe
+    * (10^12 rows x 2^63 fits decimal(38)). ONE column-pruned scan — the
+    * Iceberg seam: a catalog maintaining content digests in metadata
+    * supplies this without any scan. */
+  private def contentFp(df: DataFrame, cols: Seq[String]): String = {
+    val h = xxhash64(cols.map(col): _*)
+    val r = df.agg(count(lit(1)), bit_xor(h),
+      sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect().head
+    val sumMod = Option(r.getDecimal(2))
+      .map(_.toBigInteger.mod(java.math.BigInteger.valueOf(Long.MaxValue)).toString)
+      .getOrElse("0")
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:$sumMod"
   }
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()

@@ -77,6 +77,19 @@ class RunPipelineSpec extends SparkSpec {
     assert(field(j2b, "stages_computed") === 0 && field(j2b, "stages_loaded") > 0)
     assert(field(j2b, "output") === 5)
 
+    // a RE-EMBEDDED snapshot (same ids and text, new vectors) is a NEW
+    // content address: stages recompute against the new vectors instead of
+    // loading results scored against the old ones — 124's vector no longer
+    // twins doc 5, so it now survives
+    val d2re = writeParquet(
+      ((101L to 105L).map(i => (i, text(i), i + 1000L)) ++ Seq(
+        (121L, text(3), 1121L), (124L, text(124), 1124L), (125L, leakText, 1125L)))
+        .map { case (i, t, c) => (i, t, emb(c)) }.toDF("doc_id", "text", "emb"),
+      "d2re")
+    val j2re = RunPipeline.run(spark, args(work, d2re))
+    assert(field(j2re, "stages_loaded") === 0 && field(j2re, "stages_computed") > 0)
+    assert(field(j2re, "semantic_dups") === 0 && field(j2re, "output") === 6)
+
     // withdraw doc 3, then a fresh near-copy of it SURVIVES (both indexes
     // compacted under the bumped corpus epoch before the delta)
     val del = writeParquet(Seq(3L).toDF("doc_id"), "del3")
@@ -102,6 +115,10 @@ class RunPipelineSpec extends SparkSpec {
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--use-pq")))
     intercept[IllegalArgumentException](
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train")))
+    intercept[IllegalArgumentException](
+      RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train=abc")))
+    intercept[IllegalArgumentException](
+      RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train=1,val=0")))
     intercept[IllegalArgumentException](
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--bogus")))
   }

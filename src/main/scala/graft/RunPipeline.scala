@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   *   [--probe /data/benchmarks]       \  // decontamination probe (pid, ptext)
   *   [--probe-id pid] [--probe-text ptext] \
   *   [--deletions /data/withdrawn]    \  // ids to withdraw BEFORE this delta
+  *   [--require lang,text]            \  // required non-null string columns -> `invalid`
   *   [--minhash-threshold 0.9] [--semantic-threshold 0.99] [--cells 1024] \
   *   [--min-quality 0] [--max-top-word-pct 100] \
   *   [--splits train=0.98,val=0.02] [--pack-budget 8192] [--out <dir>]
@@ -45,6 +46,7 @@ object RunPipeline {
       emb: Option[String] = None,
       probe: Option[String] = None, probeId: String = "pid", probeText: String = "ptext",
       deletions: Option[String] = None,
+      require_ : Seq[String] = Nil,
       usePq: Boolean = false,
       pqM: Int = 8, pqKSub: Int = 16, pqMargin: Double = 0.2,
       minhashThreshold: Double = 0.9,
@@ -65,6 +67,7 @@ object RunPipeline {
       case "--probe-id" :: v :: t => loop(a.copy(probeId = v), t)
       case "--probe-text" :: v :: t => loop(a.copy(probeText = v), t)
       case "--deletions" :: v :: t => loop(a.copy(deletions = Some(v)), t)
+      case "--require" :: v :: t => loop(a.copy(require_ = v.split(",").toSeq), t)
       case "--use-pq" :: t => loop(a.copy(usePq = true), t)
       case "--pq-m" :: v :: t => loop(a.copy(pqM = v.toInt), t)
       case "--pq-ksub" :: v :: t => loop(a.copy(pqKSub = v.toInt), t)
@@ -110,8 +113,16 @@ object RunPipeline {
     val deletions = a.deletions.map(d =>
       spark.read.parquet(d).select(col(a.id)))
 
+    // --require col[,col] builds a minimal validation spec: the named string
+    // columns must be present and non-null; violating docs count as `invalid`
+    // (richer SchemaSpec rules are a library-level concern — code, not flags)
+    val schema = if (a.require_.isEmpty) None else Some(graft.dsl.SchemaSpec(
+      "delta", a.require_.map(c => graft.dsl.Field.string(c).req),
+      keyColumns = Seq(a.id)))
+
     val result = TrainingPipeline.runDelta(
       delta, a.id, a.text, a.work,
+      schema = schema,
       probe = probe, embCol = a.emb, deletions = deletions,
       minhashThreshold = a.minhashThreshold,
       minQualityScore = a.minQuality, maxTopWordPct = a.maxTopWordPct,

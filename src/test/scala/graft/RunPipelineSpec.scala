@@ -109,6 +109,17 @@ class RunPipelineSpec extends SparkSpec {
     assert(cells.columns.contains("codes"))
   }
 
+  test("--require: null required columns count as invalid and drop") {
+    val d = writeParquet(
+      Seq((1L, text(1), "en"), (2L, text(2), null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "lang"), "dreq")
+    val work = s"$root/work_req"
+    val j = RunPipeline.run(spark, RunPipeline.parse(Array(
+      "--input", d, "--work", work, "--require", "lang")))
+    assert(field(j, "input") === 2 && field(j, "invalid") === 1)
+    assert(field(j, "output") === 1)
+  }
+
   test("arg guards") {
     intercept[IllegalArgumentException](RunPipeline.parse(Array("--input", "x")))
     intercept[IllegalArgumentException](

@@ -447,9 +447,18 @@ object Bench {
           timedReleased(Dedup.deltaNearDupsIndexed(micro, "doc_id", "text", idxDir, threshold = 0.8)
             .write.mode("overwrite").format("noop").save())
         }.min
+        // the same micro delta through the r6 re-band path: its cost stays
+        // index-SIZE-bound while the pruned path's is delta-bound — this
+        // gap, not the 10%-delta one, is the band-partitioning story (a
+        // daily patch touches a sliver of the band space)
+        val microRebandSec = (1 to ddReps).map { _ =>
+          timedReleased(Dedup.deltaNearDups(micro, "doc_id", "text", oldSigs, p, threshold = 0.8)
+            .write.mode("overwrite").format("noop").save())
+        }.min
         f"""{"reps":$ddReps,"corpus_mult":$mult,"index_build_sec":$buildSec%.3f,""" +
           f""""full_sec":$fullSec%.3f,"delta_sec":$deltaSec%.3f,""" +
           f""""delta_reband_sec":$rebandSec%.3f,"micro_delta_sec":$microSec%.3f,""" +
+          f""""micro_reband_sec":$microRebandSec%.3f,""" +
           f""""speedup":${fullSec / deltaSec}%.1f}"""
       } finally s.stop()
     }

@@ -87,7 +87,8 @@ object RunPipeline {
                 case _: NumberFormatException => throw new IllegalArgumentException(
                   s"--splits weight for '$n' is not a number: $w")
               }
-              require(weight > 0, s"--splits weight for '$n' must be positive, got $w")
+              require(weight > 0 && !weight.isInfinite,
+                s"--splits weight for '$n' must be positive and finite, got $w")
               (n, weight)
             case _ => throw new IllegalArgumentException(
               s"--splits expects name=weight[,name=weight], got: $v")
@@ -115,7 +116,18 @@ object RunPipeline {
 
     // --require col[,col] builds a minimal validation spec: the named string
     // columns must be present and non-null; violating docs count as `invalid`
-    // (richer SchemaSpec rules are a library-level concern — code, not flags)
+    // (richer SchemaSpec rules are a library-level concern — code, not flags).
+    // Fail fast on a missing or non-string column — resolving a typo to NULL
+    // would silently invalidate the ENTIRE delta and commit an empty corpus
+    a.require_.foreach { c =>
+      val f = delta.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"--require column '$c' is not in the input schema " +
+            s"(${delta.schema.fieldNames.mkString(", ")})"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"--require column '$c' is ${f.dataType.simpleString}, not string — " +
+          "the minimal CLI spec validates string columns only")
+    }
     val schema = if (a.require_.isEmpty) None else Some(graft.dsl.SchemaSpec(
       "delta", a.require_.map(c => graft.dsl.Field.string(c).req),
       keyColumns = Seq(a.id)))
@@ -123,6 +135,11 @@ object RunPipeline {
     val result = TrainingPipeline.runDelta(
       delta, a.id, a.text, a.work,
       schema = schema,
+      // the require list keys the stages (a changed list must not load stale
+      // verdicts) and its columns' VALUES join the fingerprint (a data
+      // correction in them is a new snapshot)
+      paramsKey = if (a.require_.isEmpty) "" else s"require=${a.require_.mkString(",")}",
+      extraFingerprintCols = a.require_,
       probe = probe, embCol = a.emb, deletions = deletions,
       minhashThreshold = a.minhashThreshold,
       minQualityScore = a.minQuality, maxTopWordPct = a.maxTopWordPct,

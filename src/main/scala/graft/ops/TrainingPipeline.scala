@@ -557,6 +557,13 @@ object TrainingPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 1.0), splitSalt: String = "",
       packBudget: Option[Long] = None, packShards: Int = 64,
       paramsKey: String = "", checkpointShards: Int = 64,
+      // columns beyond (id, text, emb) whose VALUES the run's verdict depends
+      // on (e.g. schema-validated fields): they join the content fingerprint,
+      // so a data correction in them is a NEW snapshot, not a stale replay.
+      // NOTE: resubmitting ids already in the corpus (an update, re-embedding
+      // included) requires a `deletions` pass first — appends never retire an
+      // id's previous generation from the indexes.
+      extraFingerprintCols: Seq[String] = Nil,
       onStageComputed: String => Unit = _ => ()): DeltaPipelineResult = {
     import graft.checkpoint.StageStore
     val spark = delta.sparkSession
@@ -627,8 +634,9 @@ object TrainingPipeline {
     // the fingerprint covers the EMBEDDING column too when one is in play: a
     // re-embedded snapshot (same ids and text, new vectors) must recompute
     // its semantic stages, not load results scored against the old vectors
-    val baseKey = s"v2|in=${contentFp(delta, Seq(idCol, textCol) ++ embCol)}|" +
-      s"schema=${schema.isDefined}|user=$paramsKey"
+    val baseKey =
+      s"v2|in=${contentFp(delta, Seq(idCol, textCol) ++ embCol ++ extraFingerprintCols)}|" +
+        s"schema=${schema.isDefined}|user=$paramsKey"
     // per-delta stage namespace: successive snapshots never overwrite each
     // other's committed state, so an identical resubmission replays cleanly
     val tag = java.security.MessageDigest.getInstance("MD5")

@@ -118,6 +118,31 @@ class RunPipelineSpec extends SparkSpec {
       "--input", d, "--work", work, "--require", "lang")))
     assert(field(j, "input") === 2 && field(j, "invalid") === 1)
     assert(field(j, "output") === 1)
+    // a CHANGED require list keys new stages — never a stale-verdict replay
+    val j2 = RunPipeline.run(spark, RunPipeline.parse(Array(
+      "--input", d, "--work", work, "--require", "lang,text")))
+    assert(field(j2, "stages_loaded") === 0 && field(j2, "invalid") === 1)
+    // a corrected required VALUE (same ids, text, emb) is a NEW snapshot:
+    // the require'd columns join the content fingerprint
+    val dFixed = writeParquet(
+      Seq((1L, text(1), "en"), (2L, text(2), "en")).toDF("doc_id", "text", "lang"),
+      "dreqfix")
+    val j3 = RunPipeline.run(spark, RunPipeline.parse(Array(
+      "--input", dFixed, "--work", work, "--require", "lang")))
+    assert(field(j3, "stages_loaded") === 0)
+    assert(field(j3, "invalid") === 0 && field(j3, "output") === 2)
+    // typo'd or non-string columns fail fast instead of silently
+    // invalidating the whole delta
+    val typo = intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, RunPipeline.parse(Array(
+        "--input", d, "--work", work, "--require", "langg")))
+    }
+    assert(typo.getMessage.contains("not in the input schema"), typo.getMessage)
+    val nonString = intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, RunPipeline.parse(Array(
+        "--input", d, "--work", work, "--require", "doc_id")))
+    }
+    assert(nonString.getMessage.contains("not string"), nonString.getMessage)
   }
 
   test("arg guards") {
@@ -130,6 +155,8 @@ class RunPipelineSpec extends SparkSpec {
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train=abc")))
     intercept[IllegalArgumentException](
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train=1,val=0")))
+    intercept[IllegalArgumentException](
+      RunPipeline.parse(Array("--input", "x", "--work", "y", "--splits", "train=Infinity,val=1")))
     intercept[IllegalArgumentException](
       RunPipeline.parse(Array("--input", "x", "--work", "y", "--bogus")))
   }

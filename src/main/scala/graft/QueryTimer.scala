@@ -15,6 +15,12 @@ object QueryTimer {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench's shuffle-dir choice: timings must reflect the bench's
+      // conditions (RAM-backed local dirs), not /tmp's disk
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-local"
+        else System.getProperty("java.io.tmpdir")))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

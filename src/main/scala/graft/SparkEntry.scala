@@ -16,6 +16,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[graft.ops.Adaptive.spread]] — used on the compute-heavy queries'
+    * inputs so expression-bound scans use every slot even when the input's
+    * file layout yields fewer splits than the cluster has cores (a no-op at
+    * production scale; see Adaptive). Trivial projection queries skip it:
+    * their wall time is the job overhead floor, and an extra exchange only
+    * adds to it. */
+  private def sp(df: DataFrame): DataFrame = graft.ops.Adaptive.spread(df)
+
   /** Full document-text vocabulary of the synthetic corpus (checked at sf0.1). */
   private val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
     "dup", "fast", "filter", "group", "hash", "join", "key", "line", "merge",
@@ -52,7 +60,7 @@ object SparkEntry {
     // ---- C1 cast -------------------------------------------------------------
     "q_cast_invalid" -> ((s, dir) => {
       val spec = SchemaSpec("events", Seq(Field.integer("props")), keyColumns = Seq("event_id"))
-      Validator.validate(spec, t(s, dir, "events")).violations
+      Validator.validate(spec, sp(t(s, dir, "events"))).violations
     }),
 
     // ---- C3 required ----------------------------------------------------------
@@ -106,7 +114,7 @@ object SparkEntry {
       val allowed = vocab.filterNot(w => w == "vector" || w == "stream")
       val spec = SchemaSpec("documents",
         Seq(Field.array("words", FString()).subsetOf(allowed: _*)), keyColumns = Seq("doc_id"))
-      val df = t(s, dir, "documents").withColumn("words", split(col("text"), " "))
+      val df = sp(t(s, dir, "documents")).withColumn("words", split(col("text"), " "))
       Validator.validate(spec, df).violations
     }),
 
@@ -217,7 +225,7 @@ object SparkEntry {
           EmbedSpec("author", authorSchema, jsonName = Some("writer")),
           EmbedSpec("coauthors", authorSchema, many = true)),
         keyColumns = Seq("doc_id"))
-      val df = t(s, dir, "documents")
+      val df = sp(t(s, dir, "documents"))
         .withColumn("author", struct(
           col("source").as("first_name"),
           col("lang").as("last_name"),
@@ -255,7 +263,7 @@ object SparkEntry {
     // ---- :time type (canonical HH:mm:ss; invalid wall-clock => cast violation) -------------------------
     "q_time" -> ((s, dir) => {
       val spec = SchemaSpec("e", Seq(Field.time("t")), keyColumns = Seq("event_id"))
-      val df = t(s, dir, "events").withColumn("t",
+      val df = sp(t(s, dir, "events")).withColumn("t",
         when(col("event_id") % 13 === 0, lit("25:61:00"))
           .otherwise(concat(
             lpad((col("event_id") % 30).cast("string"), 2, "0"), lit(":15:"),
@@ -267,7 +275,7 @@ object SparkEntry {
     "q_union" -> ((s, dir) => {
       val u = FUnion(Seq(FInteger, FFloat))
       val spec = SchemaSpec("u", Seq(Field.of("v", u)), keyColumns = Seq("event_id"))
-      val df = t(s, dir, "events").withColumn("v",
+      val df = sp(t(s, dir, "events")).withColumn("v",
         when(col("event_id") % 3 === 0, (col("event_id") % 100).cast("string"))
           .when(col("event_id") % 3 === 1, lit("3.5"))
           .otherwise(lit("abc")))
@@ -289,7 +297,7 @@ object SparkEntry {
         Field.of("vl", uLazy).from("v"),
         Field.of("ve", uEager).from("v")),
         keyColumns = Seq("event_id"))
-      val df = t(s, dir, "events").withColumn("v",
+      val df = sp(t(s, dir, "events")).withColumn("v",
         when(col("event_id") % 3 === 0, (col("event_id") % 100).cast("string"))
           .otherwise(concat(lit("w"), (col("event_id") % 10).cast("string"))))
       val r = Validator.validate(spec, df)
@@ -708,18 +716,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
     "q_text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextOps.qualitySignals(col("text")).as("q"))
+      sp(t(s, dir, "documents")).select(col("doc_id"), TextOps.qualitySignals(col("text")).as("q"))
         .select("doc_id", "q.n_tokens", "q.n_chars", "q.mean_token_len_x100",
           "q.stopword_count", "q.alpha_ratio_x100", "q.quality_score")),
 
     "q_text_tokens" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      sp(t(s, dir, "documents")).select(
         col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
         TextOps.tokenCountBpeIsh(col("text")).cast("long").as("bpe_tokens"))),
 
     "q_text_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+      sp(t(s, dir, "documents")).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
     // ---- sharding: deterministic train/val/test split (md5 unit hash — engine-reproducible) --------------
     "q_hash_split" -> ((s, dir) =>
@@ -762,7 +770,7 @@ object SparkEntry {
         lit(" contact u"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
         pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel "),
         (col("doc_id") + 9100000000L).cast("string"))
-      t(s, dir, "documents")
+      sp(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.scrubPii(withPii).as("scrubbed"),
           TextOps.piiCounts(withPii).as("p"))
         .select(col("doc_id"), col("scrubbed"),
@@ -771,7 +779,7 @@ object SparkEntry {
 
     // ---- text: within-doc repetition signals (Gopher-style quality filters; exact integer ratios) --------
     "q_text_repetition" -> ((s, dir) =>
-      t(s, dir, "documents")
+      sp(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.repetitionSignals(col("text")).as("r"))
         .select(col("doc_id"),
           col("r.top_word_count").as("top_word_count"), col("r.n_tokens").as("n_tokens"),

@@ -24,10 +24,13 @@ object Decontaminate {
   // one JITed pass per document (graft.functions.NgramHashes) — the HOF
   // shingle pipeline (transform/slice interpreted per element) measured 6x
   // slower on this exact query shape; values are bit-identical to
-  // xxhash64(explode(array_distinct(shingles)))
+  // xxhash64(explode(array_distinct(shingles))). The (id, text) projection
+  // is spread to the slot count first (no-op at scale — Adaptive.spread):
+  // the hash+explode pass must not run on one core for single-split inputs.
   private def hashedNgrams(df: DataFrame, id: String, text: String, idOut: String, n: Int) =
-    df.select(col(id).as(idOut),
-      explode(graft.functions.NgramHashes(col(text), n)).as("__h"))
+    Adaptive.spread(df.select(col(id).as(idOut), col(text).as("__t")))
+      .select(col(idOut),
+        explode(graft.functions.NgramHashes(col("__t"), n)).as("__h"))
 
   /** The probe side's hashed n-grams (probe_id, __h) — compute ONCE and
     * persist when the same probe set screens many corpora or micro-batches

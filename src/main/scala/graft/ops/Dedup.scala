@@ -200,8 +200,11 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): AuditedPairs = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig"))
+    // signature pass spread to the slot count (no-op at scale — see
+    // minhashSignatures): the corpus hash scan must not run on one core
+    // just because the input is one file/split
+    val withSig = Adaptive.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), minhashSignature(col("__text"), shingleN, numHashes, seed).as("sig"))
     val cand = candidatePairsAudited(lshBands(withSig, "id", col("sig"), bands, rows), maxBucket)
     // Materialize the candidate pairs ONCE before verification. The pairs are
     // a tiny projection (two ids/row) of an expensive pipeline (full-corpus
@@ -445,8 +448,14 @@ object Dedup {
   def duplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minCount: Long = 2L): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      posexplode(graft.functions.NgramHashesAt(coalesce(col(textCol), lit("")), n))
+    // one narrow (id, text) source, spread to the slot count (no-op at
+    // scale): the positional gram hash runs for the count pass and the
+    // semi-join pass, and the final scrub is another text pass — none of
+    // them may run on one core just because the input is one file/split
+    val src = Adaptive.spread(df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("__text")))
+    val grams = src.select(col("id"),
+      posexplode(graft.functions.NgramHashesAt(col("__text"), n))
         .as(Seq("pos", "h")))
     val dupHashes = grams.groupBy("h")
       .agg(count(lit(1)).as("freq"))
@@ -456,7 +465,7 @@ object Dedup {
       .groupBy("id")
       .agg(collect_list(col("pos")).as("__starts"),
         count(lit(1)).as("dup_ngrams"))
-    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("__text"))
+    src
       .join(dupStarts, Seq("id"), "left")
       .withColumn("__s", graft.functions.SpanScrub(
         col("__text"),
@@ -522,12 +531,18 @@ object Dedup {
     def minMatches(threshold: Double): Int = math.ceil(threshold * numHashes).toInt
   }
 
-  /** (id, sig) signature frame for `df` under `p` — the index's row shape. */
+  /** (id, sig) signature frame for `df` under `p` — the index's row shape.
+    * The signature pass is the corpus-scan-bound stage of every MinHash
+    * path, so the (id, text) projection is spread to the cluster's slot
+    * count first (Adaptive.spread — a no-op whenever the input already
+    * carries enough splits, i.e. at any production scale): a small or
+    * single-file input would otherwise hash on one core. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, p: MinhashIndexParams): DataFrame =
-    df.select(col(idCol).as("id"),
-      graft.functions.MinHashSig(col(textCol), p.shingleN, p.numHashes, p.seed, p.portable)
-        .as("sig"))
+    Adaptive.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        graft.functions.MinHashSig(col("__text"), p.shingleN, p.numHashes, p.seed, p.portable)
+          .as("sig"))
 
   /** Positions where two equal-length signatures agree — the MinHash Jaccard
     * estimate's integer numerator (estimate = matches / numHashes). Unrolled

@@ -471,14 +471,18 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int,
       nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
-    val q = queries
-      .select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qe"))
+    // both sides spread to the slot count (no-op at scale — Adaptive.spread):
+    // the probe explode, the norms, and above all the per-pair dot products
+    // of the cell join run with the stream side's partitioning, which for a
+    // single-split input would be one core
+    val q = Adaptive.spread(
+      queries.select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qe")))
       .withColumn("__nq", norm(col("__qe")))
       .filter(col("__nq") =!= 0.0) // zero-vector queries: no rows (brute-force parity)
       .select(col("query_id"), col("__qe"), col("__nq"),
         explode(graft.functions.ProbeCells(col("__qe"), centroids, nprobe)).as("cell"))
-    val c = indexed
-      .select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell"))
+    val c = Adaptive.spread(
+      indexed.select(col("id"), col("emb").cast("array<double>").as("__ce"), col("cell")))
       .withColumn("__nc", norm(col("__ce")))
       .filter(col("__nc") =!= 0.0)
     val joined = c.join(q, "cell")

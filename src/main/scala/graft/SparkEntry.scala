@@ -608,10 +608,12 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val old = e.filter(col("vec_id") % 3 =!= 0)
       val nw = e.filter(col("vec_id") % 3 === 0)
-      val centroids = Similarity.ivfTrain(old, "vec_id", "embedding", k = 64, iters = 0,
-        sampleSize = 64, sampleByHash = false)
-      val codebooks = Similarity.pqTrain(old, "vec_id", "embedding", m = 8, kSub = 16,
-        iters = 0, sampleSize = 16, sampleByHash = false)
+      // ONE sample collect feeds both quantizers (the PQ sample is the ivf
+      // sample's 16-row prefix under the same id order) — two train calls
+      // would each pay a full TakeOrdered job for byte-identical data
+      val sample = Similarity.trainSample(old, "vec_id", "embedding", 64, sampleByHash = false)
+      val centroids = Similarity.ivfTrainFromSample(sample, k = 64, iters = 0)
+      val codebooks = Similarity.pqTrainFromSample(sample.take(16), m = 8, kSub = 16, iters = 0)
       Similarity.semanticDeltaPairsPq(nw, "vec_id", "embedding", old,
         centroids, codebooks, threshold = 0.35, maxCell = 4096,
         adcMargin = PqDeltaMargin).pairs

@@ -176,13 +176,27 @@ object Dedup {
   /** Exact n-gram Jaccard for given pairs: join shingle sets back, compute
     * |intersect| / |union|. Shingles are computed ONLY for documents that
     * appear in a candidate pair (semi-join first): the verify stage's cost is
-    * ~candidates, never a second corpus-wide shingle pass. */
+    * ~candidates, never a second corpus-wide shingle pass.
+    *
+    * The per-doc sets are 8-byte gram HASHES ([[graft.functions.NgramHashes]]
+    * — one JITed pass; distinct per doc, whole-text fallback under n tokens,
+    * exactly [[TextOps.shingles]]' construction), not shingle strings: the
+    * string pipeline is an interpreted HOF that measured ~1 ms/doc and ran
+    * once per join side — the two verify stages were the slowest part of the
+    * sf0.1 minhash line. Intersect/union cardinalities over the hash sets
+    * equal the string sets' (a 2^-64 collision could at worst perturb one
+    * pair's jaccard — the same accepted tradeoff as decontamination and the
+    * span scrub), so the emitted jaccard values are unchanged. The sets
+    * frame is eagerly checkpointed: it is joined twice (side a, side b), and
+    * DataFrame reuse re-executes the semi-join + gram scan per reference. */
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
     val candDocs = df.join(candIds, df(idCol) === candIds("__cid"), "left_semi")
-    val sets = candDocs.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+    val sets = candDocs.select(col(idCol).as("id"),
+      graft.functions.NgramHashes(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
     val a = sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a"))
     val b = sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")

@@ -145,13 +145,30 @@ object Similarity {
     * geometry). `iters = 0` => centroids are just the unit-normalized
     * embeddings of the first k sampled ids — fully reproducible by any
     * engine from the data alone. */
+  /** The deterministic training sample both quantizer trainers draw: the
+    * first `n` vectors under [[sampleOrder]], one TakeOrdered pass. Public so
+    * a pipeline training BOTH the coarse quantizer and the PQ codebooks can
+    * collect ONE sample and feed [[ivfTrainFromSample]] /
+    * [[pqTrainFromSample]] — two separate train calls each pay a full
+    * sample job for what is byte-identical data (the smaller request is a
+    * prefix of the larger under the same order). */
+  def trainSample(
+      df: DataFrame, idCol: String, embCol: String, n: Int,
+      sampleByHash: Boolean = true): Seq[Seq[Double]] =
+    df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
+      .orderBy(sampleOrder("id", sampleByHash): _*).limit(n)
+      .collect().map(r => r.getSeq[Double](1)).toSeq
+
   def ivfTrain(
       df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int = 3,
-      sampleSize: Int = 4096, sampleByHash: Boolean = true): Seq[Seq[Double]] = {
-    val sample = df
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
-      .orderBy(sampleOrder("id", sampleByHash): _*).limit(math.max(sampleSize, k))
-      .collect().map(r => r.getSeq[Double](1).toArray)
+      sampleSize: Int = 4096, sampleByHash: Boolean = true): Seq[Seq[Double]] =
+    ivfTrainFromSample(
+      trainSample(df, idCol, embCol, math.max(sampleSize, k), sampleByHash), k, iters)
+
+  /** [[ivfTrain]]'s Lloyd step over an already-collected [[trainSample]]. */
+  def ivfTrainFromSample(
+      sampleRows: Seq[Seq[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
+    val sample = sampleRows.map(_.toArray).toArray
     require(sample.length >= k, s"need >= $k vectors to train $k cells")
     val points = sample.map(unit)
     var centroids: Array[Array[Double]] = points.take(k).map(_.clone())
@@ -572,11 +589,18 @@ object Similarity {
   def pqTrain(
       df: DataFrame, idCol: String, embCol: String, m: Int = 8, kSub: Int = 16,
       iters: Int = 3, sampleSize: Int = 4096,
-      sampleByHash: Boolean = true): Seq[Seq[Seq[Double]]] = {
-    val sample = df
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
-      .orderBy(sampleOrder("id", sampleByHash): _*).limit(math.max(sampleSize, kSub))
-      .collect().map(r => r.getSeq[Double](1).toArray)
+      sampleByHash: Boolean = true): Seq[Seq[Seq[Double]]] =
+    pqTrainFromSample(
+      trainSample(df, idCol, embCol, math.max(sampleSize, kSub), sampleByHash),
+      m, kSub, iters)
+
+  /** [[pqTrain]]'s per-subspace Lloyd step over an already-collected
+    * [[trainSample]] (pass the first `max(sampleSize, kSub)` rows — a
+    * larger sample's prefix is exactly what pqTrain would have drawn). */
+  def pqTrainFromSample(
+      sampleRows: Seq[Seq[Double]], m: Int, kSub: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = sampleRows.map(_.toArray).toArray
     require(sample.length >= kSub, s"need >= $kSub vectors to train $kSub codes")
     require(kSub <= 256, "kSub must fit one byte per code")
     val dim = sample(0).length

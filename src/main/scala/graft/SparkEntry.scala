@@ -60,7 +60,7 @@ object SparkEntry {
     // ---- C1 cast -------------------------------------------------------------
     "q_cast_invalid" -> ((s, dir) => {
       val spec = SchemaSpec("events", Seq(Field.integer("props")), keyColumns = Seq("event_id"))
-      Validator.validate(spec, sp(t(s, dir, "events"))).violations
+      Validator.validate(spec, t(s, dir, "events")).violations
     }),
 
     // ---- C3 required ----------------------------------------------------------

@@ -48,12 +48,20 @@ object Decontaminate {
     ngramCollisionsAgainst(corpus, corpusIdCol, corpusTextCol,
       probeHashes(probe, probeIdCol, probeTextCol, n), n, minHits)
 
-  /** [[ngramCollisions]] against a precomputed [[probeHashes]] frame. */
+  /** [[ngramCollisions]] against a precomputed [[probeHashes]] frame.
+    * `broadcastProbe` (default true) broadcasts the probe's hashed n-grams
+    * explicitly — the probe is a benchmark/test set, small by this
+    * operator's contract, and an explicit hint removes the planner's
+    * exchanges on BOTH exploded sides (size estimates for exploded frames
+    * are unreliable, so AQE otherwise plans a shuffle join first — guide
+    * §3.1: hint when you know a side is small). Pass false for a
+    * corpus-sized probe to fall back to the shuffle join. */
   def ngramCollisionsAgainst(
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
-      probeHashed: DataFrame, n: Int, minHits: Long): DataFrame =
+      probeHashed: DataFrame, n: Int, minHits: Long,
+      broadcastProbe: Boolean = true): DataFrame =
     hashedNgrams(corpus, corpusIdCol, corpusTextCol, "id", n)
-      .join(probeHashed, "__h")
+      .join(if (broadcastProbe) broadcast(probeHashed) else probeHashed, "__h")
       .groupBy("id", "probe_id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
 

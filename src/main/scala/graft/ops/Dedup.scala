@@ -881,7 +881,16 @@ object Dedup {
         sigMatchCount(col("q.sig_a"), col("q.sig_b"), p.numHashes).as("matches"),
         col("q.a_is_new"), col("q.b_is_new"))
       .filter(col("matches") >= p.minMatches(threshold))
-      .dropDuplicates("id_a", "id_b")
+      // per-pair collapse with DETERMINISTIC flag selection (min = the
+      // old-flagged copy wins): a resubmitted id makes the same pair appear
+      // with different is_new flags, and a dropDuplicates keeping an
+      // arbitrary both-new copy could let deltaLosers keep a genuine dup of
+      // a corpus document. max(matches) keeps the strongest copy's estimate
+      // (identical copies — the non-redelivery case — are unaffected).
+      .groupBy("id_a", "id_b")
+      .agg(max(col("matches")).as("matches"),
+        min(col("a_is_new")).as("a_is_new"), min(col("b_is_new")).as("b_is_new"))
+      .select("id_a", "id_b", "matches", "a_is_new", "b_is_new")
     AuditedPairs(pairs, obs, recompute)
   }
 
@@ -1000,7 +1009,12 @@ object Dedup {
       // the conservative direction (below-threshold vs everything retained)
       .filter(col("q.id_a") =!= col("q.id_b"))
       .select(col("q.id_a"), col("q.a_is_new"), col("q.id_b"), col("q.b_is_new"))
-      .dropDuplicates("id_a", "id_b")
+      // deterministic flag selection (min = old-flagged copy wins), same
+      // rationale as the raw-frame path: an arbitrary both-new copy could
+      // drop the old flag and let a corpus duplicate survive deltaLosers
+      .groupBy("id_a", "id_b")
+      .agg(min(col("a_is_new")).as("a_is_new"), min(col("b_is_new")).as("b_is_new"))
+      .select("id_a", "a_is_new", "id_b", "b_is_new")
     val cand = stage(cand0)
     // pruned signature fetch for exactly the candidates' OLD ids
     val oldIds = cand.filter(!col("a_is_new")).select(col("id_a").as("id"))

@@ -895,9 +895,14 @@ object Similarity {
       .withColumn("adc", graft.functions.PqAdcTableExpr(col("emb"), codebooks)))
     val cells = newAssigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     Dedup.completeSwap(spark, s"$indexDir/cells", s"$indexDir/cells_compacting")
+    // dropDuplicates("id"): repair-at-read for duplicate rows a
+    // crashed-then-redelivered append left (the lexical indexed path's
+    // convention) — duplicates would emit duplicate pairs and inflate the
+    // maxCell audit until the next compaction
     val old = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(cells: _*))
       .select(col("id"), col("codes"), col("cell"))
+      .dropDuplicates("id")
     // old-side cell-size cap + audit (the grouped path's discipline, join-shaped)
     def aggs: Seq[Column] = Seq(
       coalesce(sum(when(col("n") > maxCell, 1L).otherwise(0L)), lit(0L)).as("dropped_buckets"),
@@ -930,6 +935,7 @@ object Similarity {
     val oldEmbAll = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(cells: _*))
       .select(col("id").as("id_old"), col("emb").as("emb_old"))
+      .dropDuplicates("id_old") // same repair-at-read as the codes scan
     val oldEmb =
       if (pushdown) {
         val ids = candIds.collect().map(_.get(0))

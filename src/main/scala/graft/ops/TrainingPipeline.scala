@@ -578,13 +578,26 @@ object TrainingPipeline {
     // corpus manifest epoch: bumped by every deletion pass, and the floor
     // every index must have been compacted to before a delta may trust it
     val epochFile = new org.apache.hadoop.fs.Path(workDir, "_corpus_epoch")
-    def readCorpusEpoch(): Long =
+    // epoch bumps land via temp-file + rename: an in-place overwrite could
+    // be killed mid-write, leaving a truncated file that dead-ends every
+    // later runDelta in toLong. The tmp is only auto-committed when the
+    // LIVE file is gone (the kill landed between delete and rename — the
+    // bump's compaction already ran, persist order guarantees it); a tmp
+    // next to a live file is an uncommitted leftover and is dropped, and
+    // the redelivered deletion pass redoes the idempotent compaction.
+    val epochTmp = new org.apache.hadoop.fs.Path(workDir, "_corpus_epoch.tmp")
+    def readCorpusEpoch(): Long = {
+      if (!fs.exists(epochFile) && fs.exists(epochTmp))
+        require(fs.rename(epochTmp, epochFile),
+          s"epoch swap recovery failed: $epochTmp -> $epochFile")
+      else if (fs.exists(epochTmp)) fs.delete(epochTmp, false)
       if (!fs.exists(epochFile)) 0L
       else {
         val in = fs.open(epochFile)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
       }
+    }
 
     // withdrawals first: compact both indexes to the surviving ids so stale
     // entries of deleted documents can no longer win against this delta.
@@ -605,8 +618,11 @@ object TrainingPipeline {
           .join(delIds, Seq("id"), "left_anti")
         Similarity.ivfIndexCompact(keep, "id", ivfDir, Some(target))
       }
-      val out = fs.create(epochFile, true)
+      val out = fs.create(epochTmp, true)
       try out.write(s"$target\n".getBytes("UTF-8")) finally out.close()
+      if (fs.exists(epochFile)) fs.delete(epochFile, false)
+      require(fs.rename(epochTmp, epochFile),
+        s"epoch rename failed: $epochTmp -> $epochFile")
     }
     val corpusEpoch = readCorpusEpoch()
 

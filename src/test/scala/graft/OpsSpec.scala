@@ -1662,4 +1662,59 @@ class OpsSpec extends SparkSpec {
       .filter(not($"native" <=> $"tree"))
     assert(cmp.count() === 0, cmp.collect().mkString(","))
   }
+
+  test("redelivered-id pair flags are deterministic: the old-flagged copy wins (raw + indexed)") {
+    // id 1 is resubmitted: present in the index AND the delta. Its pair with
+    // delta-only id 3 (same text) forms twice — once against 1's index entry
+    // (old) and once against 1's delta row (new). The per-pair collapse must
+    // keep the OLD flag deterministically: an arbitrary both-new copy would
+    // hide the old link from deltaLosers (under-dedup).
+    val p = Dedup.MinhashIndexParams(numHashes = 32, bands = 8)
+    val tA = (1 to 30).map(t => s"ra_$t").mkString(" ")
+    val tB = (1 to 30).map(t => s"rb_$t").mkString(" ")
+    val oldDocs = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val delta = Seq((1L, tA), (3L, tA)).toDF("doc_id", "text")
+    def flagsOf(pairs: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Boolean, Boolean)] =
+      pairs.select($"id_a", $"id_b", $"a_is_new", $"b_is_new")
+        .as[(Long, Long, Boolean, Boolean)].collect()
+        .map { case (a, b, fa, fb) => ((a, b), (fa, fb)) }.toMap
+    val raw = flagsOf(Dedup.deltaNearDups(delta, "doc_id", "text",
+      Dedup.minhashSignatures(oldDocs, "doc_id", "text", p), p, threshold = 0.8))
+    assert(raw((1L, 3L)) === ((false, true)), raw.toString)
+    val idx = java.nio.file.Files.createTempDirectory("graft-flagdet").toString
+    Dedup.minhashIndexBuild(oldDocs, "doc_id", "text", idx, p)
+    val indexed = flagsOf(Dedup.deltaNearDupsIndexed(delta, "doc_id", "text", idx, threshold = 0.8))
+    assert(indexed((1L, 3L)) === ((false, true)), indexed.toString)
+  }
+
+  test("corpus epoch survives a kill between delete and rename; an uncommitted tmp is dropped") {
+    import graft.ops.TrainingPipeline
+    val w = java.nio.file.Files.createTempDirectory("graft-epoch-swap").toString
+    def doc(i: Long) = (i, (1 to 25).map(t => s"e${i}_$t").mkString(" "))
+    def go(ids: Seq[Long], del: Option[Seq[Long]] = None) =
+      TrainingPipeline.runDelta(ids.map(doc).toDF("doc_id", "text"), "doc_id", "text", w,
+        deletions = del.map(_.toDF("doc_id")), minhashThreshold = 0.8)
+    go(Seq(1L, 2L))
+    go(Seq(3L), del = Some(Seq(2L))) // deletion pass: epoch 0 -> 1
+    val hfs = new org.apache.hadoop.fs.Path(w)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$w/_corpus_epoch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$w/_corpus_epoch.tmp")
+    def readLive(): String = {
+      val in = hfs.open(live)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }
+    assert(readLive() === "1" && !hfs.exists(tmp))
+    // kill landed between delete(live) and rename: only the committed tmp
+    // remains — the next delta must recover epoch 1, not reset to 0
+    assert(hfs.rename(live, tmp))
+    go(Seq(4L))
+    assert(readLive() === "1" && !hfs.exists(tmp))
+    // an uncommitted tmp NEXT TO a live file (kill before the delete) is a
+    // leftover — dropped, live stays authoritative, and a torn tmp can no
+    // longer dead-end readCorpusEpoch in toLong
+    val garbage = hfs.create(tmp, true); garbage.write("7".getBytes.take(0)); garbage.close()
+    go(Seq(5L))
+    assert(readLive() === "1" && !hfs.exists(tmp))
+  }
 }
